@@ -1,0 +1,172 @@
+"""Top-level user API: `upscale()` and the full FSR pipeline.
+
+This replaces the reference's L2 pass orchestration (FSR_Filter::Upscale,
+sample/src/DX12/FSR_Filter.cpp:101-133): constant setup on the host, EASU,
+then RCAS.  On TPU the two passes are either fused into a single Pallas
+kernel (no intermediate HBM round-trip — the reference pays one via its
+intermediary render target, FSR_Filter.cpp:72-73) or run as two XLA ops.
+
+Layouts: the native layout is planar channels-first (..., C, H, W) — C maps
+to separate VMEM planes and W to TPU lanes.  (H, W, C) inputs are accepted
+and transposed (`layout="HWC"`).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from fsr_tpu.core.constants import EasuConstants, RcasConstants
+from fsr_tpu.core.presets import PRESETS, Preset
+from fsr_tpu.ops import easu as easu_ops
+from fsr_tpu.ops import rcas as rcas_ops
+from fsr_tpu.ops import extras
+
+__all__ = ["upscale", "UpscalePipeline"]
+
+
+def _resolve_out_size(
+    in_size: Tuple[int, int],
+    out_size: Optional[Tuple[int, int]],
+    scale: Optional[float],
+    preset: Optional[str],
+) -> Tuple[int, int]:
+    if out_size is not None:
+        return (int(out_size[0]), int(out_size[1]))
+    if preset is not None:
+        if preset not in PRESETS:
+            raise ValueError(
+                f"unknown preset {preset!r}; available: {sorted(PRESETS)}"
+            )
+        scale = PRESETS[preset].scale
+    if scale is None:
+        raise ValueError("provide one of out_size=, scale=, or preset=")
+    return (round(in_size[0] * scale), round(in_size[1] * scale))
+
+
+def upscale(
+    image: jnp.ndarray,
+    out_size: Optional[Tuple[int, int]] = None,
+    scale: Optional[float] = None,
+    preset: Optional[str] = None,
+    sharpness: float = 0.25,
+    apply_rcas: bool = True,
+    denoise: bool = False,
+    compute_dtype=jnp.float32,
+    impl: str = "auto",
+    layout: str = "CHW",
+    input_viewport: Optional[Tuple[int, int]] = None,
+    input_offset: Tuple[int, int] = (0, 0),
+) -> jnp.ndarray:
+    """FSR 1.0 upscale: EASU + optional RCAS.
+
+    image: (..., 3, H, W) planar (layout="CHW", default) or (..., H, W, 3)
+      (layout="HWC").  Values must be in [0, 1] (tonemapped, perceptual
+      encoding ~gamma 2.0 — see ffx_fsr1.h:82-94 input requirements).
+    out_size / scale / preset: target size (one of the three).  Presets:
+      ultra_quality 1.3x, quality 1.5x, balanced 1.7x, performance 2.0x.
+    sharpness: RCAS sharpness in stops (0 = maximum; sample default 0.25).
+    compute_dtype: float32 | float16 | bfloat16.
+    impl: "auto" | "xla" | "pallas".  "auto" uses the fused Pallas kernel
+      when running on TPU and the scale is supported, else the XLA path.
+    input_viewport / input_offset: Dynamic Resolution Scaling support — the
+      viewport (h, w) actually rendered inside the container image, and its
+      offset (FsrEasuConOffset, ffx_fsr1.h:205-225).
+    """
+    if layout == "HWC":
+        image = jnp.moveaxis(image, -1, -3)
+    elif layout != "CHW":
+        raise ValueError(f"unknown layout {layout!r}")
+
+    hin, win = image.shape[-2:]
+    vp = input_viewport if input_viewport is not None else (hin, win)
+    out_hw = _resolve_out_size(vp, out_size, scale, preset)
+    con = EasuConstants.create(
+        input_viewport_in_pixels=(vp[1], vp[0]),
+        input_size_in_pixels=(win, hin),
+        output_size_in_pixels=(out_hw[1], out_hw[0]),
+        input_offset_in_pixels=(input_offset[1], input_offset[0]),
+    )
+    rcon = RcasConstants(sharpness_stops=float(sharpness))
+
+    use_pallas = False
+    if impl in ("auto", "pallas"):
+        from fsr_tpu.kernels import dispatch as kdispatch
+
+        use_pallas = kdispatch.supported(image, out_hw, con, compute_dtype)
+        if impl == "pallas" and not use_pallas:
+            raise ValueError(
+                "pallas path does not support this configuration "
+                f"(in={image.shape} out={out_hw} dtype={compute_dtype})"
+            )
+
+    if use_pallas:
+        from fsr_tpu.kernels import dispatch as kdispatch
+
+        out = kdispatch.upscale_fused(
+            image, out_hw, con, rcon,
+            apply_rcas=apply_rcas, denoise=denoise, compute_dtype=compute_dtype,
+        )
+    else:
+        out = easu_ops.easu(image, out_hw, con, compute_dtype=compute_dtype)
+        if apply_rcas:
+            out = rcas_ops.rcas(out, rcon, denoise=denoise, compute_dtype=compute_dtype)
+
+    if layout == "HWC":
+        out = jnp.moveaxis(out, -3, -1)
+    return out
+
+
+class UpscalePipeline:
+    """Full post-process chain, mirroring the sample's frame tail:
+
+    (optional SRTM for HDR) -> EASU -> RCAS -> (optional LFGA grain)
+    -> (optional TEPD dither to 8/10-bit gamma-2.0).
+
+    Construct once with static configuration; `__call__` is jit-compatible.
+    """
+
+    def __init__(
+        self,
+        out_size: Tuple[int, int],
+        sharpness: float = 0.25,
+        apply_rcas: bool = True,
+        denoise: bool = False,
+        hdr_srtm: bool = False,
+        grain_amount: float = 0.0,
+        dither_bits: Optional[int] = None,
+        compute_dtype=jnp.float32,
+        impl: str = "auto",
+    ):
+        self.out_size = tuple(out_size)
+        self.sharpness = sharpness
+        self.apply_rcas = apply_rcas
+        self.denoise = denoise
+        self.hdr_srtm = hdr_srtm
+        self.grain_amount = grain_amount
+        self.dither_bits = dither_bits
+        self.compute_dtype = compute_dtype
+        self.impl = impl
+
+    def __call__(self, image, grain=None, frame=0):
+        x = image
+        if self.hdr_srtm:
+            x = extras.srtm(x)
+        x = upscale(
+            x,
+            out_size=self.out_size,
+            sharpness=self.sharpness,
+            apply_rcas=self.apply_rcas,
+            denoise=self.denoise,
+            compute_dtype=self.compute_dtype,
+            impl=self.impl,
+        )
+        if self.grain_amount and grain is not None:
+            x = extras.lfga(x, grain, self.grain_amount)
+        if self.dither_bits is not None:
+            dit = extras.tepd_dither(self.out_size, frame)
+            x = extras.tepd_quantize(x.astype(jnp.float32), dit, bits=self.dither_bits)
+        return x

@@ -1,0 +1,86 @@
+"""Bit-trick fast approximations (JAX), mirroring ffx_a.h:1786-1860.
+
+These are load-bearing for fidelity parity: EASU uses APrxLoRcp/APrxLoRsq in
+its direction normalization (ffx_fsr1.h:392,400,409) and RCAS uses APrxMedRcp
+in its resolve (ffx_fsr1.h:765), so the TPU kernels evaluate the same bit
+tricks (uint32/uint16 casts on the VPU) rather than native division.  All
+functions are dtype-polymorphic over float32/float16; bfloat16 inputs fall
+back to rounding through float32 tricks (there is no reference bf16 path).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax import lax
+
+__all__ = [
+    "prx_lo_rcp",
+    "prx_med_rcp",
+    "prx_lo_rsq",
+    "prx_lo_sqrt",
+    "rcp",
+    "sat",
+]
+
+
+def _dispatch(x):
+    if x.dtype == jnp.float32:
+        return jnp.uint32, jnp.float32
+    if x.dtype == jnp.float16:
+        return jnp.uint16, jnp.float16
+    raise TypeError(f"bit-trick approximations need float32/float16, got {x.dtype}")
+
+
+_MAGIC = {
+    # dtype-kind: (lo_rcp, med_rcp, lo_rsq, lo_sqrt)
+    jnp.dtype(jnp.float32): (0x7EF07EBB, 0x7EF19FFF, 0x5F347D74, 0x1FBC4639),
+    jnp.dtype(jnp.float16): (0x7784, 0x778D, 0x59A3, 0x1DE2),
+}
+
+
+def _bits(x):
+    ut, _ = _dispatch(x)
+    return lax.bitcast_convert_type(x, ut)
+
+
+def _float(u, ft):
+    return lax.bitcast_convert_type(u, ft)
+
+
+def prx_lo_rcp(a: jnp.ndarray) -> jnp.ndarray:
+    """APrxLoRcp: 1-op reciprocal estimate (positive inputs)."""
+    ut, ft = _dispatch(a)
+    magic = _MAGIC[a.dtype][0]
+    return _float(ut(magic) - _bits(a), ft)
+
+
+def prx_med_rcp(a: jnp.ndarray) -> jnp.ndarray:
+    """APrxMedRcp: reciprocal estimate + one Newton-Raphson step."""
+    ut, ft = _dispatch(a)
+    magic = _MAGIC[a.dtype][1]
+    b = _float(ut(magic) - _bits(a), ft)
+    return b * (-b * a + ft(2.0))
+
+
+def prx_lo_rsq(a: jnp.ndarray) -> jnp.ndarray:
+    """APrxLoRsq: 2-op rsqrt estimate (positive inputs)."""
+    ut, ft = _dispatch(a)
+    magic = _MAGIC[a.dtype][2]
+    return _float(ut(magic) - (_bits(a) >> ut(1)), ft)
+
+
+def prx_lo_sqrt(a: jnp.ndarray) -> jnp.ndarray:
+    """APrxLoSqrt: 2-op sqrt estimate (positive inputs)."""
+    ut, ft = _dispatch(a)
+    magic = _MAGIC[a.dtype][3]
+    return _float((_bits(a) >> ut(1)) + ut(magic), ft)
+
+
+def rcp(a: jnp.ndarray) -> jnp.ndarray:
+    """High-precision reciprocal (ARcp semantics for the oracle contract)."""
+    return jnp.asarray(1.0, a.dtype) / a
+
+
+def sat(a: jnp.ndarray) -> jnp.ndarray:
+    """ASat: clamp to [0, 1]."""
+    return jnp.clip(a, jnp.asarray(0.0, a.dtype), jnp.asarray(1.0, a.dtype))

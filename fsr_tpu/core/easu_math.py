@@ -1,0 +1,324 @@
+"""EASU/RCAS resolve math, shared by the XLA ops layer and Pallas kernels.
+
+The reference expresses EASU as a per-pixel scalar program over 12 taps
+(FsrEasuF, /root/reference/ffx-fsr/ffx_fsr1.h:315-437).  On TPU the same
+program is a set of elementwise VPU ops over whole tap *planes*: the caller
+materializes the 12 tap planes (by XLA gather, or by shifted VMEM slices
+inside a Pallas kernel) and this module runs the filter math on them.  This
+keeps one canonical implementation of the math that both execution paths —
+and their tests — share.
+
+Dtype policy:
+- float32: uses the reference's bit-trick approximations (exact parity path).
+- float16: FsrEasuH semantics (fp16 tricks, exact-rounded rcp in the set
+  stage per ffx_fsr1.h:489).
+- bfloat16: no reference analog; uses native rsqrt/rcp (bit tricks do not
+  exist for bf16), tuned for VPU throughput.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Sequence, Tuple
+
+import jax.numpy as jnp
+from jax import lax
+
+from fsr_tpu.core import approx
+from fsr_tpu.core.constants import FSR_RCAS_LIMIT
+
+__all__ = ["TAP_OFFSETS", "EASU_QUADS", "easu_resolve", "rcas_resolve"]
+
+# (dx, dy) offsets from 'f' for the 12-tap footprint, in FsrEasuF
+# accumulation order (ffx_fsr1.h:423-434).
+TAP_OFFSETS: Dict[str, Tuple[int, int]] = {
+    "b": (0, -1),
+    "c": (1, -1),
+    "i": (-1, 1),
+    "j": (0, 1),
+    "f": (0, 0),
+    "e": (-1, 0),
+    "k": (1, 1),
+    "l": (2, 1),
+    "h": (2, 0),
+    "g": (1, 0),
+    "o": (1, 2),
+    "n": (0, 2),
+}
+
+# Quadrant '+' patterns: (bilinear-weight key, (lA, lB, lC, lD, lE)) as in the
+# four FsrEasuSetF calls (ffx_fsr1.h:383-386).
+EASU_QUADS = (
+    ("s", ("b", "e", "f", "g", "j")),
+    ("t", ("c", "f", "g", "h", "k")),
+    ("u", ("f", "i", "j", "k", "n")),
+    ("v", ("g", "j", "k", "l", "o")),
+)
+
+Planes = Dict[str, Tuple[jnp.ndarray, ...]]  # tap name -> per-channel planes
+
+
+def _consts(dt):
+    return lambda v: jnp.asarray(v, dt)
+
+
+def _sat(x):
+    """HLSL saturate: clamp to [0,1] with NaN -> 0.
+
+    The fp16 set stage can produce 0 * INF = NaN (exact rcp of a zero
+    gradient); the reference relies on GPU saturate flushing NaN to 0.
+    For finite inputs this is identical to jnp.clip(x, 0, 1).
+    """
+    dt = x.dtype
+    return jnp.where(x > jnp.asarray(0.0, dt), jnp.minimum(x, jnp.asarray(1.0, dt)), jnp.asarray(0.0, dt))
+
+
+def _nan_drop_max(a, b):
+    """HLSL max semantics: if one operand is NaN, return the other."""
+    return jnp.maximum(jnp.where(jnp.isnan(a), b, a), jnp.where(jnp.isnan(b), a, b))
+
+
+def _set_rcp(x, dt, exact: bool):
+    if exact:
+        return approx.rcp(x)
+    if dt == jnp.float32:
+        return approx.prx_lo_rcp(x)
+    if dt == jnp.float16:
+        # FsrEasuSetH uses ARcpH2 (hardware rcp), not the bit trick
+        # (ffx_fsr1.h:489); exact-rounded divide is the oracle contract.
+        return approx.rcp(x)
+    return approx.rcp(x)
+
+
+def _lo_rsq(x, dt):
+    if dt in (jnp.float32, jnp.float16):
+        return approx.prx_lo_rsq(x)
+    return lax.rsqrt(x)
+
+
+def _lo_rcp(x, dt):
+    if dt in (jnp.float32, jnp.float16):
+        return approx.prx_lo_rcp(x)
+    return approx.rcp(x)
+
+
+def easu_resolve(
+    taps: Planes,
+    ppx: jnp.ndarray,
+    ppy: jnp.ndarray,
+    dtype=None,
+    dir_dtype=jnp.float32,
+) -> Tuple[jnp.ndarray, ...]:
+    """Run the EASU filter on pre-gathered tap planes.
+
+    taps: dict tap-name -> tuple of channel planes (any number of channels,
+      typically (R, G, B)); every plane has the same spatial shape.
+    ppx/ppy: subpixel position of the output sample inside the f..k quad,
+      broadcastable to the plane shape, float32 (cast internally).
+    dtype: tap-weighting/color-accumulation dtype (the bulk of the ALU work).
+    dir_dtype: dtype of the direction/length estimation pipeline.  Default
+      float32: the reference's fp16 path (FsrEasuH) runs this stage in fp16
+      and visibly degrades on high-frequency content (>1/255 vs the fp32
+      ref); on TPU the fp32 set stage costs little, so low-precision modes
+      keep it in fp32 by default.  Pass dir_dtype=float16 for strict FsrEasuH
+      emulation.
+
+    Returns a tuple of resolved channel planes.
+    """
+    dt = jnp.dtype(dtype) if dtype is not None else taps["f"][0].dtype
+    ddt = jnp.dtype(dir_dtype)
+    c = _consts(dt)
+    cd = _consts(ddt)
+    nch = len(taps["f"])
+
+    # Luma*2 (ffx_fsr1.h:362-366): B*0.5 + (R*0.5 + G); with fewer than 3
+    # channels, fall back to the mean-ish first channel.
+    def luma(planes):
+        if nch >= 3:
+            return planes[2] * c(0.5) + (planes[0] * c(0.5) + planes[1])
+        return planes[0]
+
+    lum = {k: luma(v).astype(ddt) for k, v in taps.items()}
+
+    one = cd(1.0)
+    ppx_d = ppx.astype(ddt)
+    ppy_d = ppy.astype(ddt)
+    wq = {
+        "s": (one - ppx_d) * (one - ppy_d),
+        "t": ppx_d * (one - ppy_d),
+        "u": (one - ppx_d) * ppy_d,
+        "v": ppx_d * ppy_d,
+    }
+
+    # Strict fp16 mode reproduces FsrEasuH's packed accumulation order:
+    # quadrants S,U sum into one partial, T,V into another, then add
+    # (ffx_fsr1.h:555-558); fp32 (and mixed) use the FsrEasuF order.
+    h_order = ddt == jnp.float16 and dt == jnp.float16
+    quad_groups = ("su", "tv") if h_order else ("stuv",)
+    quads = {q[0]: q for q in EASU_QUADS}
+
+    def accumulate_quads(keys):
+        dirx = jnp.zeros_like(lum["f"])
+        diry = jnp.zeros_like(lum["f"])
+        length = jnp.zeros_like(lum["f"])
+        for wkey in keys:
+            _, (a, b_, cc, d, e) = quads[wkey]
+            w = wq[wkey]
+            l_a, l_b, l_c, l_d, l_e = lum[a], lum[b_], lum[cc], lum[d], lum[e]
+            dc = l_d - l_c
+            cb = l_c - l_b
+            len_x = _set_rcp(jnp.maximum(jnp.abs(dc), jnp.abs(cb)), ddt, exact=False)
+            dir_x = l_d - l_b
+            dirx = dirx + dir_x * w
+            len_x = _sat(jnp.abs(dir_x) * len_x)
+            length = length + len_x * len_x * w
+            ec = l_e - l_c
+            ca = l_c - l_a
+            len_y = _set_rcp(jnp.maximum(jnp.abs(ec), jnp.abs(ca)), ddt, exact=False)
+            dir_y = l_e - l_a
+            diry = diry + dir_y * w
+            len_y = _sat(jnp.abs(dir_y) * len_y)
+            length = length + len_y * len_y * w
+        return dirx, diry, length
+
+    parts = [accumulate_quads(g) for g in quad_groups]
+    dirx, diry, length = parts[0]
+    for p_ in parts[1:]:
+        dirx = dirx + p_[0]
+        diry = diry + p_[1]
+        length = length + p_[2]
+
+    # Direction normalization with zero-protect (ffx_fsr1.h:388-395).
+    dir_r = dirx * dirx + diry * diry
+    zro = dir_r < cd(1.0 / 32768.0)
+    dir_r = _lo_rsq(dir_r, ddt)
+    dir_r = jnp.where(zro, one, dir_r)
+    dirx = jnp.where(zro, one, dirx)
+    dirx = dirx * dir_r
+    diry = diry * dir_r
+    length = length * cd(0.5)
+    length = length * length
+    stretch = (dirx * dirx + diry * diry) * _lo_rcp(jnp.maximum(jnp.abs(dirx), jnp.abs(diry)), ddt)
+    len2_x = one + (stretch - one) * length
+    len2_y = one + cd(-0.5) * length
+    lob = cd(0.5) + cd((1.0 / 4.0 - 0.04) - 0.5) * length
+    clp = _lo_rcp(lob, ddt)
+    # Hand the per-pixel filter shape to the accumulation dtype.
+    dirx = dirx.astype(dt)
+    diry = diry.astype(dt)
+    len2_x = len2_x.astype(dt)
+    len2_y = len2_y.astype(dt)
+    lob = lob.astype(dt)
+    clp = clp.astype(dt)
+
+    # Dering bounds from the nearest 2x2 {f,g,j,k} (ffx_fsr1.h:416-419).
+    min4 = tuple(
+        jnp.minimum(jnp.minimum(taps["f"][i], taps["g"][i]), jnp.minimum(taps["j"][i], taps["k"][i]))
+        for i in range(nch)
+    )
+    max4 = tuple(
+        jnp.maximum(jnp.maximum(taps["f"][i], taps["g"][i]), jnp.maximum(taps["j"][i], taps["k"][i]))
+        for i in range(nch)
+    )
+
+    ppx = ppx.astype(dt)
+    ppy = ppy.astype(dt)
+
+    # Tap accumulation order: FsrEasuF's single chain, or FsrEasuH's two
+    # packed lanes (x: b,i,f,k,h,o / y: c,j,e,l,g,n; ffx_fsr1.h:583-590).
+    if h_order:
+        tap_groups = (("b", "i", "f", "k", "h", "o"), ("c", "j", "e", "l", "g", "n"))
+    else:
+        tap_groups = (tuple(TAP_OFFSETS),)
+
+    def accumulate_taps(names):
+        ac = [jnp.zeros_like(taps["f"][i], dtype=dt) for i in range(nch)]
+        aw = jnp.zeros(lum["f"].shape, dt)
+        for name in names:
+            dx, dy = TAP_OFFSETS[name]
+            off_x = c(float(dx)) - ppx
+            off_y = c(float(dy)) - ppy
+            vx = (off_x * dirx + off_y * diry) * len2_x
+            vy = (off_x * (-diry) + off_y * dirx) * len2_y
+            d2 = jnp.minimum(vx * vx + vy * vy, clp)
+            w_b = c(2.0 / 5.0) * d2 + c(-1.0)
+            w_a = lob * d2 + c(-1.0)
+            w_b = w_b * w_b
+            w_a = w_a * w_a
+            w_b = c(25.0 / 16.0) * w_b + c(-(25.0 / 16.0 - 1.0))
+            w = w_b * w_a
+            for i in range(nch):
+                ac[i] = ac[i] + taps[name][i].astype(dt) * w
+            aw = aw + w
+        return ac, aw
+
+    tparts = [accumulate_taps(g) for g in tap_groups]
+    ac, aw = tparts[0]
+    for ac2, aw2 in tparts[1:]:
+        ac = [a + b2 for a, b2 in zip(ac, ac2)]
+        aw = aw + aw2
+
+    inv_w = approx.rcp(aw)
+    return tuple(
+        jnp.minimum(max4[i], jnp.maximum(min4[i], ac[i] * inv_w)) for i in range(nch)
+    )
+
+
+def rcas_resolve(
+    taps_b: Sequence[jnp.ndarray],
+    taps_d: Sequence[jnp.ndarray],
+    taps_e: Sequence[jnp.ndarray],
+    taps_f: Sequence[jnp.ndarray],
+    taps_h: Sequence[jnp.ndarray],
+    sharpness,
+    denoise: bool = False,
+) -> Tuple[jnp.ndarray, ...]:
+    """Run the RCAS 5-tap cross on pre-gathered planes (FsrRcasF semantics).
+
+    taps_*: per-channel (R, G, B) planes of the cross:  b / d e f / h.
+    sharpness: linear sharpness (exp2(-stops), RcasConstants.sharpness).
+    """
+    dt = taps_e[0].dtype
+    c = _consts(dt)
+    sharp = jnp.asarray(sharpness, dt)
+
+    def luma(p):
+        return p[2] * c(0.5) + (p[0] * c(0.5) + p[1])
+
+    b_l, d_l, e_l, f_l, h_l = (luma(p) for p in (taps_b, taps_d, taps_e, taps_f, taps_h))
+
+    if dt in (jnp.float32, jnp.float16):
+        med_rcp = approx.prx_med_rcp
+    else:
+        med_rcp = approx.rcp
+
+    lobe = None
+    nz = None
+    if denoise:
+        nz = c(0.25) * b_l + c(0.25) * d_l + c(0.25) * f_l + c(0.25) * h_l - e_l
+        rng = jnp.maximum(jnp.maximum(jnp.maximum(b_l, d_l), jnp.maximum(e_l, f_l)), h_l) - jnp.minimum(
+            jnp.minimum(jnp.minimum(b_l, d_l), jnp.minimum(e_l, f_l)), h_l
+        )
+        nz = _sat(jnp.abs(nz) * med_rcp(rng))
+        nz = c(-0.5) * nz + c(1.0)
+
+    for i in range(3):
+        b, d, e, f, h = taps_b[i], taps_d[i], taps_e[i], taps_f[i], taps_h[i]
+        mn4 = jnp.minimum(jnp.minimum(b, d), jnp.minimum(f, h))
+        mx4 = jnp.maximum(jnp.maximum(b, d), jnp.maximum(f, h))
+        # Limiters need high-precision rcp (ffx_fsr1.h:749).
+        # These divisions can hit 0*INF = NaN (e.g. mx4 == 0 under a bright
+        # center pixel); GPU max() drops the NaN operand — emulated here.
+        # This is load-bearing: it lets RCAS spike isolated bright pixels.
+        hit_min = jnp.minimum(mn4, e) * approx.rcp(c(4.0) * mx4)
+        hit_max = (c(1.0) - jnp.maximum(mx4, e)) * approx.rcp(c(4.0) * mn4 + c(-4.0))
+        lobe_ch = _nan_drop_max(-hit_min, hit_max)
+        lobe = lobe_ch if lobe is None else jnp.maximum(lobe, lobe_ch)
+
+    lobe = jnp.maximum(c(-FSR_RCAS_LIMIT), jnp.minimum(lobe, c(0.0))) * sharp
+    if denoise:
+        lobe = lobe * nz
+    rcp_l = med_rcp(c(4.0) * lobe + c(1.0))
+    return tuple(
+        (lobe * taps_b[i] + lobe * taps_d[i] + lobe * taps_h[i] + lobe * taps_f[i] + taps_e[i]) * rcp_l
+        for i in range(3)
+    )

@@ -1,0 +1,47 @@
+"""Kernel dispatch: decide when the fused Pallas path applies.
+
+The Pallas kernels specialize on the phase structure of the coordinate
+mapping (see fsr_tpu.kernels.fused); this module owns the eligibility check
+and the call into the right kernel, so api.upscale stays backend-agnostic.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from fsr_tpu.core.constants import EasuConstants, RcasConstants
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except RuntimeError:
+        return False
+
+
+def supported(image, out_size, con: EasuConstants, compute_dtype) -> bool:
+    from fsr_tpu.kernels import fused
+
+    if not _on_tpu():
+        return False
+    return fused.supported(image.shape, out_size, con, compute_dtype)
+
+
+def upscale_fused(
+    image,
+    out_size: Tuple[int, int],
+    con: EasuConstants,
+    rcon: RcasConstants,
+    apply_rcas: bool,
+    denoise: bool,
+    compute_dtype,
+):
+    from fsr_tpu.kernels import fused
+
+    return fused.upscale_fused(
+        image, out_size, con, rcon,
+        apply_rcas=apply_rcas, denoise=denoise, compute_dtype=compute_dtype,
+    )
