@@ -77,16 +77,17 @@ def _nan_drop_max(a, b):
     return jnp.maximum(jnp.where(jnp.isnan(a), b, a), jnp.where(jnp.isnan(b), a, b))
 
 
-def _set_rcp(x, dt, exact: bool):
+def _set_rcp(x, dt, exact: bool, hi_rcp=None):
+    hi_rcp = hi_rcp or approx.rcp
     if exact:
-        return approx.rcp(x)
+        return hi_rcp(x)
     if dt == jnp.float32:
         return approx.prx_lo_rcp(x)
     if dt == jnp.float16:
         # FsrEasuSetH uses ARcpH2 (hardware rcp), not the bit trick
         # (ffx_fsr1.h:489); exact-rounded divide is the oracle contract.
-        return approx.rcp(x)
-    return approx.rcp(x)
+        return hi_rcp(x)
+    return hi_rcp(x)
 
 
 def _lo_rsq(x, dt):
@@ -95,10 +96,36 @@ def _lo_rsq(x, dt):
     return lax.rsqrt(x)
 
 
-def _lo_rcp(x, dt):
+def _lo_rcp(x, dt, hi_rcp=None):
     if dt in (jnp.float32, jnp.float16):
         return approx.prx_lo_rcp(x)
-    return approx.rcp(x)
+    return (hi_rcp or approx.rcp)(x)
+
+
+def easu_texel_response(l_a, l_b, l_c, l_d, l_e, fast: bool = False):
+    """Per-texel '+'-pattern direction/length response (gx, gy, glen_x, glen_y).
+
+    FsrEasuSetF's quadrant contribution factors as w_q(pp) * g(texel): g
+    depends only on the texel's luma neighborhood, so kernels evaluate it
+    once per *input* texel and blend four shifted slices per output phase —
+    4x less set-stage work than evaluating per output pixel, with bit-equal
+    accumulation order.
+    """
+    dt = l_c.dtype
+    hi_rcp = approx.rcp_fast if fast else approx.rcp
+    dc = l_d - l_c
+    cb = l_c - l_b
+    len_x = _set_rcp(jnp.maximum(jnp.abs(dc), jnp.abs(cb)), dt, exact=False, hi_rcp=hi_rcp)
+    gx = l_d - l_b
+    len_x = _sat(jnp.abs(gx) * len_x)
+    len_x = len_x * len_x
+    ec = l_e - l_c
+    ca = l_c - l_a
+    len_y = _set_rcp(jnp.maximum(jnp.abs(ec), jnp.abs(ca)), dt, exact=False, hi_rcp=hi_rcp)
+    gy = l_e - l_a
+    len_y = _sat(jnp.abs(gy) * len_y)
+    len_y = len_y * len_y
+    return gx, gy, len_x, len_y
 
 
 def easu_resolve(
@@ -107,8 +134,15 @@ def easu_resolve(
     ppy: jnp.ndarray,
     dtype=None,
     dir_dtype=jnp.float32,
+    fast: bool = False,
+    quad_g=None,
 ) -> Tuple[jnp.ndarray, ...]:
     """Run the EASU filter on pre-gathered tap planes.
+
+    quad_g: optional dict quad-key ('s','t','u','v') -> per-texel response
+    tuple from easu_texel_response, pre-sliced to the plane shape; when
+    given, the set stage becomes a pure bilinear blend (same accumulation
+    order, bit-equal in f32).
 
     taps: dict tap-name -> tuple of channel planes (any number of channels,
       typically (R, G, B)); every plane has the same spatial shape.
@@ -129,6 +163,7 @@ def easu_resolve(
     c = _consts(dt)
     cd = _consts(ddt)
     nch = len(taps["f"])
+    hi_rcp = approx.rcp_fast if fast else approx.rcp
 
     # Luma*2 (ffx_fsr1.h:362-366): B*0.5 + (R*0.5 + G); with fewer than 3
     # channels, fall back to the mean-ish first channel.
@@ -137,7 +172,9 @@ def easu_resolve(
             return planes[2] * c(0.5) + (planes[0] * c(0.5) + planes[1])
         return planes[0]
 
-    lum = {k: luma(v).astype(ddt) for k, v in taps.items()}
+    lum = None
+    if quad_g is None:
+        lum = {k: luma(v).astype(ddt) for k, v in taps.items()}
 
     one = cd(1.0)
     ppx_d = ppx.astype(ddt)
@@ -157,23 +194,31 @@ def easu_resolve(
     quads = {q[0]: q for q in EASU_QUADS}
 
     def accumulate_quads(keys):
-        dirx = jnp.zeros_like(lum["f"])
-        diry = jnp.zeros_like(lum["f"])
-        length = jnp.zeros_like(lum["f"])
+        zero_like = lum["f"] if lum is not None else quad_g["s"][0]
+        dirx = jnp.zeros_like(zero_like)
+        diry = jnp.zeros_like(zero_like)
+        length = jnp.zeros_like(zero_like)
         for wkey in keys:
-            _, (a, b_, cc, d, e) = quads[wkey]
             w = wq[wkey]
+            if quad_g is not None:
+                gx, gy, glx, gly = quad_g[wkey]
+                dirx = dirx + gx * w
+                length = length + glx * w
+                diry = diry + gy * w
+                length = length + gly * w
+                continue
+            _, (a, b_, cc, d, e) = quads[wkey]
             l_a, l_b, l_c, l_d, l_e = lum[a], lum[b_], lum[cc], lum[d], lum[e]
             dc = l_d - l_c
             cb = l_c - l_b
-            len_x = _set_rcp(jnp.maximum(jnp.abs(dc), jnp.abs(cb)), ddt, exact=False)
+            len_x = _set_rcp(jnp.maximum(jnp.abs(dc), jnp.abs(cb)), ddt, exact=False, hi_rcp=hi_rcp)
             dir_x = l_d - l_b
             dirx = dirx + dir_x * w
             len_x = _sat(jnp.abs(dir_x) * len_x)
             length = length + len_x * len_x * w
             ec = l_e - l_c
             ca = l_c - l_a
-            len_y = _set_rcp(jnp.maximum(jnp.abs(ec), jnp.abs(ca)), ddt, exact=False)
+            len_y = _set_rcp(jnp.maximum(jnp.abs(ec), jnp.abs(ca)), ddt, exact=False, hi_rcp=hi_rcp)
             dir_y = l_e - l_a
             diry = diry + dir_y * w
             len_y = _sat(jnp.abs(dir_y) * len_y)
@@ -232,7 +277,7 @@ def easu_resolve(
 
     def accumulate_taps(names):
         ac = [jnp.zeros_like(taps["f"][i], dtype=dt) for i in range(nch)]
-        aw = jnp.zeros(lum["f"].shape, dt)
+        aw = jnp.zeros((lum["f"] if lum is not None else quad_g["s"][0]).shape, dt)
         for name in names:
             dx, dy = TAP_OFFSETS[name]
             off_x = c(float(dx)) - ppx
@@ -257,7 +302,7 @@ def easu_resolve(
         ac = [a + b2 for a, b2 in zip(ac, ac2)]
         aw = aw + aw2
 
-    inv_w = approx.rcp(aw)
+    inv_w = hi_rcp(aw)
     return tuple(
         jnp.minimum(max4[i], jnp.maximum(min4[i], ac[i] * inv_w)) for i in range(nch)
     )
@@ -271,13 +316,18 @@ def rcas_resolve(
     taps_h: Sequence[jnp.ndarray],
     sharpness,
     denoise: bool = False,
+    fast: bool = False,
 ) -> Tuple[jnp.ndarray, ...]:
     """Run the RCAS 5-tap cross on pre-gathered planes (FsrRcasF semantics).
 
     taps_*: per-channel (R, G, B) planes of the cross:  b / d e f / h.
     sharpness: linear sharpness (exp2(-stops), RcasConstants.sharpness).
+    fast: use the hardware-speed NR reciprocal (Pallas kernels) instead of
+      exact division for the "high precision" limiter rcps; both produce the
+      same NaN-at-degenerate-input behavior that the lobe max drops.
     """
     dt = taps_e[0].dtype
+    hi_rcp = approx.rcp_fast if fast else approx.rcp
     c = _consts(dt)
     sharp = jnp.asarray(sharpness, dt)
 
@@ -289,7 +339,7 @@ def rcas_resolve(
     if dt in (jnp.float32, jnp.float16):
         med_rcp = approx.prx_med_rcp
     else:
-        med_rcp = approx.rcp
+        med_rcp = hi_rcp
 
     lobe = None
     nz = None
@@ -309,8 +359,8 @@ def rcas_resolve(
         # These divisions can hit 0*INF = NaN (e.g. mx4 == 0 under a bright
         # center pixel); GPU max() drops the NaN operand — emulated here.
         # This is load-bearing: it lets RCAS spike isolated bright pixels.
-        hit_min = jnp.minimum(mn4, e) * approx.rcp(c(4.0) * mx4)
-        hit_max = (c(1.0) - jnp.maximum(mx4, e)) * approx.rcp(c(4.0) * mn4 + c(-4.0))
+        hit_min = jnp.minimum(mn4, e) * hi_rcp(c(4.0) * mx4)
+        hit_max = (c(1.0) - jnp.maximum(mx4, e)) * hi_rcp(c(4.0) * mn4 + c(-4.0))
         lobe_ch = _nan_drop_max(-hit_min, hit_max)
         lobe = lobe_ch if lobe is None else jnp.maximum(lobe, lobe_ch)
 

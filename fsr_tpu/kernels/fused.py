@@ -1,15 +1,363 @@
-"""Fused EASU(+RCAS) Pallas kernel — placeholder until the kernel lands.
+"""Fused EASU(+RCAS) Pallas TPU kernel via phase decomposition.
 
-The real implementation (phase-decomposed stencil, see SURVEY.md section 7
-step 3-4) replaces this; `supported()` gates dispatch.
+The reference runs EASU and RCAS as two dispatches with an intermediate
+render target in memory (FSR_Filter.cpp:119-133).  Here both fuse into one
+kernel: per output tile, EASU results stay in VMEM (computed with a one-pixel
+halo) and RCAS sharpens them before the single HBM writeback — eliminating
+the intermediate image's HBM round trip entirely.
+
+Phase decomposition (the TPU answer to the gather4 tap fetch): when the
+output->input mapping x -> floor(x*sx + ox) advances by exactly one source
+texel every qx output pixels (true for the exact-binary 2x Performance
+preset, and verified against the ground-truth coordinate vectors at trace
+time), output pixels split into qx * qy phase classes with *constant*
+subpixel fraction.  Each phase's 12 EASU taps are then plain shifted slices
+of the VMEM-resident input tile — no gathers, pure VPU elementwise math
+(shared with the XLA path via fsr_tpu.core.easu_math).
+
+RCAS also runs in phase-planar space: its 5-tap cross maps to slices of the
+neighboring phase planes, so no interleaving happens before sharpening.  The
+final assembly interleaves rows by strided sublane stores into the output
+block and columns by a logarithmic butterfly riffle (roll+select stages) —
+Mosaic has no lane-interleave shape cast, so the riffle is the vector-unit
+way to zip phases along lanes.
+
+Scope (v1): per-axis phase counts with unit source stride (p == 1): qy, qx in
+{1,2,4} — integer upscale factors per dim, incl. the benchmark
+2x config.  Other ratios fall back to the XLA path via `supported()`.
 """
 
 from __future__ import annotations
 
+import functools
+from typing import Tuple
 
-def supported(in_shape, out_size, con, compute_dtype) -> bool:
-    return False
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from fsr_tpu.core import easu_math
+from fsr_tpu.core.constants import EasuConstants, RcasConstants
+from fsr_tpu.ops.easu import easu_coords
+
+# Flipped to True by tests to run the kernel in interpreter mode on CPU.
+INTERPRET = False
+
+_QX_SUPPORTED = (1, 2, 4)
+_QY_SUPPORTED = (1, 2, 4)
 
 
-def upscale_fused(image, out_size, con, rcon, apply_rcas, denoise, compute_dtype):
-    raise NotImplementedError("fused Pallas kernel not yet available")
+def _phase_structure(con: EasuConstants, out_size: Tuple[int, int]):
+    """Validate unit-stride phase structure against the ground-truth coords.
+
+    Returns (qy, qx, ry, rx, py_phase, px_phase) or None.  r*(b) is the
+    integer source texel of phase b at block index 0; fx(qx*j + b) must
+    equal j + rx(b) *exactly* (the float32 coordinate math is the oracle
+    contract, so this is checked against easu_coords, not assumed).
+    """
+    hout, wout = out_size
+    fx, fy, px, py = easu_coords(con, out_size)
+
+    def axis(f, frac, n, qs):
+        for q in qs:
+            if n % q:
+                continue
+            j = np.arange(n // q)
+            r, ph, ok = [], [], True
+            for b in range(q):
+                sel_f = f[b::q]
+                sel_p = frac[b::q]
+                if not (np.all(sel_f == sel_f[0] + j) and np.all(sel_p == sel_p[0])):
+                    ok = False
+                    break
+                r.append(int(sel_f[0]))
+                ph.append(np.float32(sel_p[0]))
+            if ok:
+                return q, r, ph
+        return None
+
+    ax = axis(fx, px, wout, _QX_SUPPORTED)
+    ay = axis(fy, py, hout, _QY_SUPPORTED)
+    if ax is None or ay is None:
+        return None
+    qx, rx, px_phase = ax
+    qy, ry, py_phase = ay
+    if qx == 1 and qy == 1:
+        return None  # 1x-ish: the XLA path is fine and simpler
+    return qy, qx, ry, rx, py_phase, px_phase
+
+
+def supported(in_shape, out_size, con: EasuConstants, compute_dtype) -> bool:
+    if len(in_shape) < 3 or in_shape[-3] != 3:
+        return False  # alpha passthrough stays on the XLA path for now
+    if jnp.dtype(compute_dtype) not in (jnp.float32, jnp.bfloat16):
+        # Mosaic has no fp16 vector type on this target; fp16 requests run
+        # on the XLA path (which computes through f32 with f16 rounding).
+        return False
+    hout, wout = out_size
+    if hout < 16 or wout < 256:
+        return False  # too small to tile profitably; XLA path is fine
+    return _phase_structure(con, out_size) is not None
+
+
+def _pick_tiles(hpl: int, wpl: int):
+    """Plane-space tile sizes (TJ rows, TI cols per phase)."""
+    ti = 256
+    while ti > wpl:
+        ti //= 2
+    ti = max(ti, 8)
+    tj = 32
+    while tj > hpl:
+        tj //= 2
+    tj = max(tj, 1)
+    return tj, ti
+
+
+def _riffle2(a: jnp.ndarray, b: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Interleave two arrays along `axis`: r[2k]=a[k], r[2k+1]=b[k].
+
+    Butterfly of log2(W) block-swap stages over concat([a, b]); each stage is
+    two rolls and a double select — the vector-unit substitute for the
+    interleaving shape cast Mosaic does not support.
+    """
+    axis = axis % a.ndim
+    w = a.shape[axis]
+    n = 2 * w
+    # tpu.dynamic_rotate only handles 32-bit lanes; ride 16-bit data through
+    # float32 (cast back at the end).
+    out_dt = a.dtype
+    if jnp.dtype(out_dt).itemsize < 4:
+        a = a.astype(jnp.float32)
+        b = b.astype(jnp.float32)
+    c = jnp.concatenate([a, b], axis=axis)
+    idx = jax.lax.broadcasted_iota(jnp.int32, c.shape, axis)
+    s = w // 2
+    while s >= 1:
+        seg = idx // s
+        c = jnp.where(
+            (seg % 4) == 1,
+            pltpu.roll(c, n - s, axis=axis),
+            jnp.where((seg % 4) == 2, pltpu.roll(c, s, axis=axis), c),
+        )
+        s //= 2
+    return c.astype(out_dt)
+
+
+def _riffle(planes, axis: int):
+    """Interleave q phase planes along `axis` (q in {1, 2, 4})."""
+    q = len(planes)
+    if q == 1:
+        return planes[0]
+    if q == 2:
+        return _riffle2(planes[0], planes[1], axis)
+    if q == 4:
+        return _riffle2(
+            _riffle2(planes[0], planes[2], axis),
+            _riffle2(planes[1], planes[3], axis),
+            axis,
+        )
+    raise ValueError(f"unsupported phase count {q}")
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "out_size", "con", "rcon", "apply_rcas", "denoise", "compute_dtype"
+    ),
+)
+def upscale_fused(
+    image: jnp.ndarray,
+    out_size: Tuple[int, int],
+    con: EasuConstants,
+    rcon: RcasConstants,
+    apply_rcas: bool = True,
+    denoise: bool = False,
+    compute_dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Fused EASU(+RCAS) on TPU.  image: (..., 3, Hin, Win) in [0, 1]."""
+    if image.ndim > 3:
+        batch = image.shape[:-3]
+        flat = image.reshape((-1,) + image.shape[-3:])
+        fn = jax.vmap(
+            lambda im: upscale_fused(
+                im, out_size, con, rcon,
+                apply_rcas=apply_rcas, denoise=denoise, compute_dtype=compute_dtype,
+            )
+        )
+        return fn(flat).reshape(batch + (3,) + tuple(out_size))
+
+    dt = jnp.dtype(compute_dtype)
+    hout, wout = out_size
+    hin, win = image.shape[-2:]
+    st = _phase_structure(con, out_size)
+    if st is None:
+        raise ValueError("unsupported scale for the fused kernel (use impl='xla')")
+    qy, qx, ry, rx, py_phase, px_phase = st
+
+    hpl, wpl = hout // qy, wout // qx  # phase-plane extent
+    tj, ti = _pick_tiles(hpl, wpl)
+    ny, nx = pl.cdiv(hpl, tj), pl.cdiv(wpl, ti)
+
+    # Input halo: plane rows jj in [-1, tj+1) (RCAS halo), each needing source
+    # rows jj + r(a) + dy for dy in [-1, 2].
+    ry_min, ry_max = min(ry), max(ry)
+    rx_min, rx_max = min(rx), max(rx)
+    pad_top = 2 - ry_min
+    pad_left = 2 - rx_min
+    def _round_up(v, m):
+        return -(-v // m) * m
+
+    # DMA slice shapes must align to the (8, 128) vreg tiling.
+    tih = _round_up(tj + 2 + (ry_max - ry_min) + 3, 8)
+    tiw = _round_up(ti + 2 + (rx_max - rx_min) + 3, 128)
+    pad_bottom = max(0, (ny - 1) * tj + tih - (hin + pad_top))
+    pad_right = max(0, (nx - 1) * ti + tiw - (win + pad_left))
+
+    src = image.astype(dt)
+    src = jnp.pad(
+        src,
+        ((0, 0), (pad_top, pad_bottom), (pad_left, pad_right)),
+        mode="edge",
+    )
+
+    sharp = float(rcon.sharpness_f16 if dt == jnp.float16 else rcon.sharpness)
+
+    def kernel(src_ref, out_ref, tile, sem):
+        ty = pl.program_id(0)
+        tx = pl.program_id(1)
+        dma = pltpu.make_async_copy(
+            src_ref.at[:, pl.ds(ty * tj, tih), pl.ds(tx * ti, tiw)], tile, sem
+        )
+        dma.start()
+        dma.wait()
+
+        # --- Per-texel precomputation, shared by all phases: luma*2 and the
+        # '+'-pattern direction/length response (ffx_fsr1.h:275-313 factored
+        # per texel; each phase then only bilinearly blends 4 slices of it).
+        lumt = (
+            tile[2].astype(jnp.float32) * 0.5
+            + (tile[0].astype(jnp.float32) * 0.5 + tile[1].astype(jnp.float32))
+        )
+        gh, gw = tih - 2, tiw - 2
+        g_tex = easu_math.easu_texel_response(
+            lumt[0:gh, 1 : 1 + gw],      # a: texel (y-1, x)
+            lumt[1 : 1 + gh, 0:gw],      # b: texel (y, x-1)
+            lumt[1 : 1 + gh, 1 : 1 + gw],  # c: center texel
+            lumt[1 : 1 + gh, 2 : 2 + gw],  # d: texel (y, x+1)
+            lumt[2 : 2 + gh, 1 : 1 + gw],  # e: texel (y+1, x)
+            fast=True,
+        )
+
+        # --- EASU per phase: planes of (tj+2, ti+2) incl. a 1px RCAS halo.
+        ph, pw = tj + 2, ti + 2
+        # Quad center texel offsets relative to 'f' (f, g, j, k).
+        quad_off = {"s": (0, 0), "t": (0, 1), "u": (1, 0), "v": (1, 1)}
+        planes = []
+        for a in range(qy):
+            row = []
+            for b in range(qx):
+                taps = {}
+                for name, (dx, dy) in easu_math.TAP_OFFSETS.items():
+                    r0 = (ry[a] - ry_min) + (dy + 1)
+                    c0 = (rx[b] - rx_min) + (dx + 1)
+                    taps[name] = tuple(
+                        tile[ch, r0 : r0 + ph, c0 : c0 + pw] for ch in range(3)
+                    )
+                quad_g = {}
+                for qk, (qdy, qdx) in quad_off.items():
+                    gr = (ry[a] - ry_min) + qdy
+                    gc = (rx[b] - rx_min) + qdx
+                    quad_g[qk] = tuple(
+                        comp[gr : gr + ph, gc : gc + pw] for comp in g_tex
+                    )
+                ppx = jnp.full((1, 1), px_phase[b], jnp.float32)
+                ppy = jnp.full((1, 1), py_phase[a], jnp.float32)
+                res = easu_math.easu_resolve(
+                    taps, ppx, ppy, dtype=dt, dir_dtype=jnp.float32, fast=True,
+                    quad_g=quad_g,
+                )
+                row.append(jnp.stack(res, axis=0))  # (3, ph, pw)
+            planes.append(row)
+
+        # --- RCAS in phase-planar space: the 5-tap cross maps to slices of
+        # neighboring phase planes (one plane pixel = qy/qx output pixels).
+        def interior(p):
+            return p[:, 1 : 1 + tj, 1 : 1 + ti]
+
+        out_rows = []
+        for a in range(qy):
+            outs_b = []
+            for b in range(qx):
+                e3 = interior(planes[a][b])
+                if apply_rcas:
+                    if a > 0:
+                        bt = interior(planes[a - 1][b])
+                    else:
+                        bt = planes[qy - 1][b][:, 0:tj, 1 : 1 + ti]
+                    if a < qy - 1:
+                        ht = interior(planes[a + 1][b])
+                    else:
+                        ht = planes[0][b][:, 2 : 2 + tj, 1 : 1 + ti]
+                    if b > 0:
+                        dtp = interior(planes[a][b - 1])
+                    else:
+                        dtp = planes[a][qx - 1][:, 1 : 1 + tj, 0:ti]
+                    if b < qx - 1:
+                        ftp = interior(planes[a][b + 1])
+                    else:
+                        ftp = planes[a][0][:, 1 : 1 + tj, 2 : 2 + ti]
+
+                    # Border clamp in *global output* coordinates so ragged
+                    # (masked) edge tiles are exact too.
+                    jrow = ty * tj + jax.lax.broadcasted_iota(jnp.int32, (tj, ti), 0)
+                    icol = tx * ti + jax.lax.broadcasted_iota(jnp.int32, (tj, ti), 1)
+                    grow = jrow * qy + a
+                    gcol = icol * qx + b
+
+                    def fix(tap, center, mask):
+                        return tuple(
+                            jnp.where(mask, center[ch], t)
+                            for ch, t in enumerate(tap)
+                        )
+
+                    # RCAS compares (isnan / min-max limiters) are not
+                    # available for 16-bit vectors on all targets; run the
+                    # sharpening stage in f32 and round at the store.
+                    def split(p):  # noqa: F811 (keep f32 here)
+                        return tuple(p[ch].astype(jnp.float32) for ch in range(3))
+
+                    e_t = split(e3)
+                    bt = fix(split(bt), e_t, grow == 0)
+                    ht = fix(split(ht), e_t, grow == hout - 1)
+                    dtp = fix(split(dtp), e_t, gcol == 0)
+                    ftp = fix(split(ftp), e_t, gcol == wout - 1)
+                    res = easu_math.rcas_resolve(
+                        bt, dtp, e_t, ftp, ht, float(rcon.sharpness),
+                        denoise=denoise, fast=True
+                    )
+                    outs_b.append(jnp.stack(res, axis=0).astype(dt))
+                else:
+                    outs_b.append(e3)
+            # --- Assemble x: riffle column phases along lanes.
+            out_rows.append(_riffle(outs_b, axis=2))  # (3, tj, qx*ti)
+
+        # --- Assemble y: riffle row phases along sublanes, single store.
+        out_ref[:, :, :] = _riffle(out_rows, axis=1)  # (3, qy*tj, qx*ti)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(ny, nx),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(
+            (3, qy * tj, qx * ti), lambda ty, tx: (0, ty, tx), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((3, hout, wout), dt),
+        scratch_shapes=[
+            pltpu.VMEM((3, tih, tiw), dt),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=INTERPRET,
+    )(src)
+    return out

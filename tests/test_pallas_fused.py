@@ -1,0 +1,155 @@
+"""Fused Pallas kernel vs the XLA ops path (interpret mode on CPU).
+
+The real-TPU run of the same kernel is exercised by bench.py and the driver;
+these tests validate the kernel's tap routing, phase interleave, halo, and
+border logic against the already-oracle-verified XLA path.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from fsr_tpu.core.constants import EasuConstants, RcasConstants
+from fsr_tpu.kernels import fused
+from fsr_tpu.ops import easu as easu_ops
+from fsr_tpu.ops import rcas as rcas_ops
+
+
+@pytest.fixture(autouse=True)
+def _interpret():
+    fused.INTERPRET = True
+    yield
+    fused.INTERPRET = False
+
+
+def _con(in_hw, out_hw):
+    return EasuConstants.create((in_hw[1], in_hw[0]), None, (out_hw[1], out_hw[0]))
+
+
+def _xla(img, out_hw, con, rcon, apply_rcas=True, denoise=False):
+    out = easu_ops.easu(jnp.asarray(img), out_hw, con)
+    if apply_rcas:
+        out = rcas_ops.rcas(out, rcon, denoise=denoise)
+    return np.asarray(out)
+
+
+SIZES_2X = [
+    ((64, 160), (128, 320)),
+    ((67, 131), (134, 262)),  # ragged tiles
+    ((32, 640), (64, 1280)),  # wide, multiple col tiles
+]
+
+
+@pytest.mark.parametrize("in_hw,out_hw", SIZES_2X)
+def test_fused_matches_xla_2x(rng, in_hw, out_hw):
+    img = rng.uniform(0, 1, (3, *in_hw)).astype(np.float32)
+    con = _con(in_hw, out_hw)
+    rcon = RcasConstants(0.25)
+    got = np.asarray(fused.upscale_fused(jnp.asarray(img), out_hw, con, rcon))
+    want = _xla(img, out_hw, con, rcon)
+    np.testing.assert_allclose(got, want, atol=3e-6, rtol=0)
+
+
+def test_fused_easu_only(rng):
+    in_hw, out_hw = (48, 144), (96, 288)
+    img = rng.uniform(0, 1, (3, *in_hw)).astype(np.float32)
+    con = _con(in_hw, out_hw)
+    got = np.asarray(
+        fused.upscale_fused(jnp.asarray(img), out_hw, con, RcasConstants(0.0), apply_rcas=False)
+    )
+    want = _xla(img, out_hw, con, None, apply_rcas=False)
+    np.testing.assert_allclose(got, want, atol=3e-6, rtol=0)
+
+
+def test_fused_denoise(rng):
+    in_hw, out_hw = (48, 144), (96, 288)
+    img = rng.uniform(0, 1, (3, *in_hw)).astype(np.float32)
+    con = _con(in_hw, out_hw)
+    rcon = RcasConstants(0.5)
+    got = np.asarray(
+        fused.upscale_fused(jnp.asarray(img), out_hw, con, rcon, denoise=True)
+    )
+    want = _xla(img, out_hw, con, rcon, denoise=True)
+    np.testing.assert_allclose(got, want, atol=3e-6, rtol=0)
+
+
+def test_fused_batched(rng):
+    in_hw, out_hw = (32, 140), (64, 280)
+    imgs = rng.uniform(0, 1, (2, 3, *in_hw)).astype(np.float32)
+    con = _con(in_hw, out_hw)
+    rcon = RcasConstants(0.25)
+    got = np.asarray(fused.upscale_fused(jnp.asarray(imgs), out_hw, con, rcon))
+    assert got.shape == (2, 3, *out_hw)
+    for i in range(2):
+        want = _xla(imgs[i], out_hw, con, rcon)
+        np.testing.assert_allclose(got[i], want, atol=3e-6, rtol=0)
+
+
+def test_fused_isolated_bright_pixel(rng):
+    # The RCAS NaN-drop path inside the kernel (rcp_fast NaN at 0 behaves
+    # like division's inf here).
+    in_hw, out_hw = (32, 130), (64, 260)
+    img = np.zeros((3, *in_hw), np.float32)
+    img[:, 16, 60] = 0.5
+    con = _con(in_hw, out_hw)
+    rcon = RcasConstants(0.0)
+    got = np.asarray(fused.upscale_fused(jnp.asarray(img), out_hw, con, rcon))
+    want = _xla(img, out_hw, con, rcon)
+    assert np.isfinite(got).all()
+    np.testing.assert_allclose(got, want, atol=3e-6, rtol=0)
+
+
+def test_phase_structure_detection():
+    # 2x exact-binary: q=(2,2); 1.5x breaks the float32 pattern -> None.
+    con2 = _con((540, 960), (1080, 1920))
+    st = fused._phase_structure(con2, (1080, 1920))
+    assert st is not None and (st[0], st[1]) == (2, 2)
+    assert st[4] == [np.float32(0.75), np.float32(0.25)]
+    con15 = _con((720, 1280), (1080, 1920))
+    assert fused._phase_structure(con15, (1080, 1920)) is None
+
+
+def test_supported_gating():
+    con = _con((540, 960), (1080, 1920))
+    assert fused.supported((3, 540, 960), (1080, 1920), con, jnp.float32)
+    assert fused.supported((3, 540, 960), (1080, 1920), con, jnp.bfloat16)
+    # fp16 has no Mosaic vector type on current targets -> XLA path.
+    assert not fused.supported((3, 540, 960), (1080, 1920), con, jnp.float16)
+    assert not fused.supported((4, 540, 960), (1080, 1920), con, jnp.float32)
+
+
+def test_riffle_correctness():
+    # pltpu.roll is a Pallas primitive; run the riffle inside a kernel.
+    import jax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def via_kernel(fn, out_shape, *xs):
+        def k(*refs):
+            out_ref = refs[-1]
+            out_ref[:] = fn(*(r[:] for r in refs[:-1]))
+
+        return np.asarray(
+            pl.pallas_call(
+                k,
+                out_shape=jax.ShapeDtypeStruct(out_shape, jnp.float32),
+                interpret=True,
+            )(*xs)
+        )
+
+    a = jnp.arange(16, dtype=jnp.float32).reshape(2, 8)
+    b = -a
+    r = via_kernel(lambda x, y: fused._riffle2(x, y, axis=1), (2, 16), a, b)
+    want = np.empty((2, 16), np.float32)
+    want[:, 0::2] = np.asarray(a)
+    want[:, 1::2] = np.asarray(b)
+    np.testing.assert_array_equal(r, want)
+    # 4-way, and axis 0
+    planes = [jnp.full((2, 8), i, jnp.float32) for i in range(4)]
+    r4 = via_kernel(lambda *ps: fused._riffle(list(ps), axis=1), (2, 32), *planes)
+    np.testing.assert_array_equal(r4[0, :8], [0, 1, 2, 3, 0, 1, 2, 3])
+    r0 = via_kernel(lambda x, y: fused._riffle2(x, y, axis=0), (4, 8), a, b)
+    want0 = np.empty((4, 8), np.float32)
+    want0[0::2] = np.asarray(a)
+    want0[1::2] = np.asarray(b)
+    np.testing.assert_array_equal(r0, want0)
