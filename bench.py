@@ -1,0 +1,113 @@
+"""Benchmark harness: fused EASU+RCAS throughput on the local TPU chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
+
+Headline config (BASELINE.json): EASU+RCAS at 1080p -> 4K, per chip.
+vs_baseline is measured against the reference's best published number:
+the RX 6800 XT-class <=0.40 ms full-FSR-pass budget at 4K, i.e.
+~20.7 Gpix/s output (BASELINE.md, FidelityFX-FSR-Overview PDF p.9).
+
+Timing notes: the axon tunnel dispatch path has tens of ms of HTTP
+round-trip jitter and memoizes repeated identical dispatches, so wall-time
+of single dispatches is meaningless.  We time an on-device dependency chain
+(lax.fori_loop of upscale -> crop) at two iteration counts and divide the
+difference — constant costs (transfer, dispatch, fetch) cancel.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_GPIX_S = 20.7  # derived RX 6800 XT-class throughput (BASELINE.md)
+
+
+def _timed(f, *args, reps=5):
+    import jax
+
+    r = f(*args)
+    _ = np.asarray(jax.tree.leaves(r)[0]).ravel()[:1]  # force completion
+    ts = []
+    for _i in range(reps):
+        t0 = time.perf_counter()
+        r = f(*args)
+        _ = np.asarray(jax.tree.leaves(r)[0]).ravel()[:1]
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
+
+
+def measure_chain(step, x, n1=10, n2=110, reps=5):
+    """Per-iteration time of an on-device dependency chain (see module doc)."""
+    import jax
+    from jax import lax
+
+    @functools.partial(jax.jit, static_argnames="n")
+    def loop(x, n):
+        return lax.fori_loop(0, n, lambda i, z: step(z), x)
+
+    t1 = _timed(loop, x, n1, reps=reps)
+    t2 = _timed(loop, x, n2, reps=reps)
+    return (t2 - t1) / (n2 - n1)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from fsr_tpu import api
+    from fsr_tpu.core.constants import EasuConstants, RcasConstants
+    from fsr_tpu.kernels import fused
+
+    dev = jax.devices()[0]
+    in_hw, out_hw = (1080, 1920), (2160, 3840)
+    hin, win = in_hw
+    mpix = out_hw[0] * out_hw[1] / 1e6
+    con = EasuConstants.create((win, hin), None, (out_hw[1], out_hw[0]))
+    rcon = RcasConstants(0.25)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(0, 1, (3, hin, win)).astype(np.float32))
+
+    results = {}
+    for name, dt in (("f32", jnp.float32), ("bf16", jnp.bfloat16)):
+        if not fused.supported(x.shape, out_hw, con, dt):
+            continue
+
+        def step(z, dt=dt):
+            out = fused.upscale_fused(z, out_hw, con, rcon, compute_dtype=dt)
+            return out[:, :hin, :win].astype(jnp.float32)
+
+        try:
+            t = measure_chain(step, x)
+            results[name] = t
+        except Exception as e:  # pragma: no cover - report and continue
+            print(f"bench {name} failed: {e}", file=sys.stderr)
+
+    if not results:
+        print(json.dumps({"metric": "easu_rcas_1080p_to_4k", "value": 0.0,
+                          "unit": "Mpix/s", "vs_baseline": 0.0,
+                          "error": "no kernel config ran"}))
+        return
+
+    best_name = min(results, key=results.get)
+    t = results[best_name]
+    mpix_s = mpix / t
+    line = {
+        "metric": "easu_rcas_1080p_to_4k_output_throughput",
+        "value": round(mpix_s, 1),
+        "unit": "Mpix/s",
+        "vs_baseline": round(mpix_s / (BASELINE_GPIX_S * 1e3), 4),
+        "ms_per_frame": round(t * 1e3, 3),
+        "compute_dtype": best_name,
+        "device": str(dev),
+        "all_ms": {k: round(v * 1e3, 3) for k, v in results.items()},
+    }
+    print(json.dumps(line))
+
+
+if __name__ == "__main__":
+    main()
