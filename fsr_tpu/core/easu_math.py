@@ -158,11 +158,16 @@ def easu_resolve(
 
     Returns a tuple of resolved channel planes.
     """
-    dt = jnp.dtype(dtype) if dtype is not None else taps["f"][0].dtype
+    # Channels: taps[name] is either a tuple of per-channel planes, or a
+    # single stacked (C, H, W) array (kernels prefer stacked: one vector op
+    # per stage instead of one per channel).
+    stacked = not isinstance(taps["f"], (tuple, list))
+    first = taps["f"] if stacked else taps["f"][0]
+    dt = jnp.dtype(dtype) if dtype is not None else first.dtype
     ddt = jnp.dtype(dir_dtype)
     c = _consts(dt)
     cd = _consts(ddt)
-    nch = len(taps["f"])
+    nch = first.shape[0] if stacked else len(taps["f"])
     hi_rcp = approx.rcp_fast if fast else approx.rcp
 
     # Luma*2 (ffx_fsr1.h:362-366): B*0.5 + (R*0.5 + G); with fewer than 3
@@ -174,7 +179,13 @@ def easu_resolve(
 
     lum = None
     if quad_g is None:
-        lum = {k: luma(v).astype(ddt) for k, v in taps.items()}
+        if stacked:
+            lum = {
+                k: (v[2] * c(0.5) + (v[0] * c(0.5) + v[1])).astype(ddt)
+                for k, v in taps.items()
+            }
+        else:
+            lum = {k: luma(v).astype(ddt) for k, v in taps.items()}
 
     one = cd(1.0)
     ppx_d = ppx.astype(ddt)
@@ -256,14 +267,18 @@ def easu_resolve(
     clp = clp.astype(dt)
 
     # Dering bounds from the nearest 2x2 {f,g,j,k} (ffx_fsr1.h:416-419).
-    min4 = tuple(
-        jnp.minimum(jnp.minimum(taps["f"][i], taps["g"][i]), jnp.minimum(taps["j"][i], taps["k"][i]))
-        for i in range(nch)
-    )
-    max4 = tuple(
-        jnp.maximum(jnp.maximum(taps["f"][i], taps["g"][i]), jnp.maximum(taps["j"][i], taps["k"][i]))
-        for i in range(nch)
-    )
+    if stacked:
+        min4 = jnp.minimum(jnp.minimum(taps["f"], taps["g"]), jnp.minimum(taps["j"], taps["k"]))
+        max4 = jnp.maximum(jnp.maximum(taps["f"], taps["g"]), jnp.maximum(taps["j"], taps["k"]))
+    else:
+        min4 = tuple(
+            jnp.minimum(jnp.minimum(taps["f"][i], taps["g"][i]), jnp.minimum(taps["j"][i], taps["k"][i]))
+            for i in range(nch)
+        )
+        max4 = tuple(
+            jnp.maximum(jnp.maximum(taps["f"][i], taps["g"][i]), jnp.maximum(taps["j"][i], taps["k"][i]))
+            for i in range(nch)
+        )
 
     ppx = ppx.astype(dt)
     ppy = ppy.astype(dt)
@@ -275,9 +290,14 @@ def easu_resolve(
     else:
         tap_groups = (tuple(TAP_OFFSETS),)
 
+    shape_hw = (lum["f"] if lum is not None else quad_g["s"][0]).shape
+
     def accumulate_taps(names):
-        ac = [jnp.zeros_like(taps["f"][i], dtype=dt) for i in range(nch)]
-        aw = jnp.zeros((lum["f"] if lum is not None else quad_g["s"][0]).shape, dt)
+        if stacked:
+            ac = jnp.zeros_like(taps["f"], dtype=dt)
+        else:
+            ac = [jnp.zeros_like(taps["f"][i], dtype=dt) for i in range(nch)]
+        aw = jnp.zeros(shape_hw, dt)
         for name in names:
             dx, dy = TAP_OFFSETS[name]
             off_x = c(float(dx)) - ppx
@@ -291,18 +311,26 @@ def easu_resolve(
             w_a = w_a * w_a
             w_b = c(25.0 / 16.0) * w_b + c(-(25.0 / 16.0 - 1.0))
             w = w_b * w_a
-            for i in range(nch):
-                ac[i] = ac[i] + taps[name][i].astype(dt) * w
+            if stacked:
+                ac = ac + taps[name].astype(dt) * w[None]
+            else:
+                for i in range(nch):
+                    ac[i] = ac[i] + taps[name][i].astype(dt) * w
             aw = aw + w
         return ac, aw
 
     tparts = [accumulate_taps(g) for g in tap_groups]
     ac, aw = tparts[0]
     for ac2, aw2 in tparts[1:]:
-        ac = [a + b2 for a, b2 in zip(ac, ac2)]
+        if stacked:
+            ac = ac + ac2
+        else:
+            ac = [a + b2 for a, b2 in zip(ac, ac2)]
         aw = aw + aw2
 
     inv_w = hi_rcp(aw)
+    if stacked:
+        return jnp.minimum(max4, jnp.maximum(min4, ac * inv_w[None]))
     return tuple(
         jnp.minimum(max4[i], jnp.maximum(min4[i], ac[i] * inv_w)) for i in range(nch)
     )
@@ -320,12 +348,19 @@ def rcas_resolve(
 ) -> Tuple[jnp.ndarray, ...]:
     """Run the RCAS 5-tap cross on pre-gathered planes (FsrRcasF semantics).
 
-    taps_*: per-channel (R, G, B) planes of the cross:  b / d e f / h.
+    taps_*: per-channel (R, G, B) planes of the cross (b / d e f / h), or
+      stacked (3, H, W) arrays.
     sharpness: linear sharpness (exp2(-stops), RcasConstants.sharpness).
     fast: use the hardware-speed NR reciprocal (Pallas kernels) instead of
       exact division for the "high precision" limiter rcps; both produce the
       same NaN-at-degenerate-input behavior that the lobe max drops.
     """
+    stacked = not isinstance(taps_e, (tuple, list))
+    if stacked:
+        taps_b, taps_d, taps_e, taps_f, taps_h = (
+            tuple(t[ch] for ch in range(t.shape[0]))
+            for t in (taps_b, taps_d, taps_e, taps_f, taps_h)
+        )
     dt = taps_e[0].dtype
     hi_rcp = approx.rcp_fast if fast else approx.rcp
     c = _consts(dt)
@@ -368,7 +403,8 @@ def rcas_resolve(
     if denoise:
         lobe = lobe * nz
     rcp_l = med_rcp(c(4.0) * lobe + c(1.0))
-    return tuple(
+    out = tuple(
         (lobe * taps_b[i] + lobe * taps_d[i] + lobe * taps_h[i] + lobe * taps_f[i] + taps_e[i]) * rcp_l
         for i in range(3)
     )
+    return jnp.stack(out, axis=0) if stacked else out

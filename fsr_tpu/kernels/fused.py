@@ -103,15 +103,18 @@ def supported(in_shape, out_size, con: EasuConstants, compute_dtype) -> bool:
 
 
 def _pick_tiles(hpl: int, wpl: int):
-    """Plane-space tile sizes (TJ rows, TI cols per phase)."""
-    ti = 256
-    while ti > wpl:
+    """Plane-space tile sizes (TJ rows, TI cols per phase).
+
+    Chosen from on-device sweeps (v5e): large enough to amortize per-tile
+    overhead, small enough that the full-tile-shaped EASU live set fits
+    VMEM.
+    """
+    ti = 512  # must be a power of two (butterfly riffle)
+    while ti > wpl and ti > 8:
         ti //= 2
-    ti = max(ti, 8)
     tj = 32
-    while tj > hpl:
+    while tj > hpl and tj > 1:
         tj //= 2
-    tj = max(tj, 1)
     return tj, ti
 
 
@@ -124,6 +127,8 @@ def _riffle2(a: jnp.ndarray, b: jnp.ndarray, axis: int) -> jnp.ndarray:
     """
     axis = axis % a.ndim
     w = a.shape[axis]
+    if w & (w - 1):
+        raise ValueError(f"riffle needs a power-of-two extent, got {w}")
     n = 2 * w
     # tpu.dynamic_rotate only handles 32-bit lanes; ride 16-bit data through
     # float32 (cast back at the end).
@@ -164,7 +169,8 @@ def _riffle(planes, axis: int):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "out_size", "con", "rcon", "apply_rcas", "denoise", "compute_dtype"
+        "out_size", "con", "rcon", "apply_rcas", "denoise", "compute_dtype",
+        "assemble",
     ),
 )
 def upscale_fused(
@@ -175,8 +181,18 @@ def upscale_fused(
     apply_rcas: bool = True,
     denoise: bool = False,
     compute_dtype=jnp.float32,
+    assemble: str = "kernel",
 ) -> jnp.ndarray:
-    """Fused EASU(+RCAS) on TPU.  image: (..., 3, Hin, Win) in [0, 1]."""
+    """Fused EASU(+RCAS) on TPU.  image: (..., 3, Hin, Win) in [0, 1].
+
+    assemble: how phase planes become the interleaved output.
+      "kernel" (default): butterfly-riffle inside the kernel (~15% of the
+      kernel's VPU time).
+      "xla": the kernel emits one output per phase and XLA interleaves
+      them.  Measured 4x slower end-to-end: XLA's inner-dim-2 transpose
+      runs far below HBM bandwidth.  Kept for phase-planar consumers (a
+      video pipeline that wants planar frames can take outs pre-reshape).
+    """
     if image.ndim > 3:
         batch = image.shape[:-3]
         flat = image.reshape((-1,) + image.shape[-3:])
@@ -184,6 +200,7 @@ def upscale_fused(
             lambda im: upscale_fused(
                 im, out_size, con, rcon,
                 apply_rcas=apply_rcas, denoise=denoise, compute_dtype=compute_dtype,
+                assemble=assemble,
             )
         )
         return fn(flat).reshape(batch + (3,) + tuple(out_size))
@@ -224,7 +241,12 @@ def upscale_fused(
 
     sharp = float(rcon.sharpness_f16 if dt == jnp.float16 else rcon.sharpness)
 
-    def kernel(src_ref, out_ref, tile, sem):
+    def kernel(src_ref, *refs):
+        if assemble == "xla":
+            out_refs = refs[: qy * qx]  # one per phase (a, b), row-major
+        else:
+            (out_ref,) = refs[:1]
+        tile, sem = refs[-2], refs[-1]
         ty = pl.program_id(0)
         tx = pl.program_id(1)
         dma = pltpu.make_async_copy(
@@ -233,24 +255,45 @@ def upscale_fused(
         dma.start()
         dma.wait()
 
+        # Tap extraction uses full-shape rolls, not slices: every operand
+        # keeps the vreg-aligned (tih, tiw) tile shape, so no masked-slice
+        # relayouts; wrapped rows/cols land beyond the used (tj+2, ti+2)
+        # window (the tile is padded by >= 2 beyond the deepest tap).
+        # Lane rolls (columns) are the expensive ones, so they happen first
+        # and CSE shares them across the taps that differ only in row shift.
+        def shift2(arr, dy, dx):
+            # tpu.dynamic_rotate is 32-bit only; ride 16-bit data through f32
+            # (the upcast is CSE-shared across all taps of the same array).
+            if jnp.dtype(arr.dtype).itemsize < 4:
+                return shift2(arr.astype(jnp.float32), dy, dx).astype(arr.dtype)
+            r = arr
+            ax = r.ndim
+            if dx:
+                r = pltpu.roll(r, (r.shape[ax - 1] - dx) % r.shape[ax - 1], axis=ax - 1)
+            if dy:
+                r = pltpu.roll(r, (r.shape[ax - 2] - dy) % r.shape[ax - 2], axis=ax - 2)
+            return r
+
         # --- Per-texel precomputation, shared by all phases: luma*2 and the
         # '+'-pattern direction/length response (ffx_fsr1.h:275-313 factored
-        # per texel; each phase then only bilinearly blends 4 slices of it).
+        # per texel; each phase then only bilinearly blends 4 copies of it).
+        tile3 = tile[:, :, :]  # (3, tih, tiw) stacked channels
         lumt = (
-            tile[2].astype(jnp.float32) * 0.5
-            + (tile[0].astype(jnp.float32) * 0.5 + tile[1].astype(jnp.float32))
+            tile3[2].astype(jnp.float32) * 0.5
+            + (tile3[0].astype(jnp.float32) * 0.5 + tile3[1].astype(jnp.float32))
         )
-        gh, gw = tih - 2, tiw - 2
+        # g index (m, n) = response at texel (m+1, n+1).
         g_tex = easu_math.easu_texel_response(
-            lumt[0:gh, 1 : 1 + gw],      # a: texel (y-1, x)
-            lumt[1 : 1 + gh, 0:gw],      # b: texel (y, x-1)
-            lumt[1 : 1 + gh, 1 : 1 + gw],  # c: center texel
-            lumt[1 : 1 + gh, 2 : 2 + gw],  # d: texel (y, x+1)
-            lumt[2 : 2 + gh, 1 : 1 + gw],  # e: texel (y+1, x)
+            shift2(lumt, 0, 1),  # a: texel (y-1, x)
+            shift2(lumt, 1, 0),  # b: texel (y, x-1)
+            shift2(lumt, 1, 1),  # c: center texel
+            shift2(lumt, 1, 2),  # d: texel (y, x+1)
+            shift2(lumt, 2, 1),  # e: texel (y+1, x)
             fast=True,
         )
 
-        # --- EASU per phase: planes of (tj+2, ti+2) incl. a 1px RCAS halo.
+        # --- EASU per phase on full-tile-shaped planes; only the leading
+        # (tj+2, ti+2) window is meaningful (1px RCAS halo included).
         ph, pw = tj + 2, ti + 2
         # Quad center texel offsets relative to 'f' (f, g, j, k).
         quad_off = {"s": (0, 0), "t": (0, 1), "u": (1, 0), "v": (1, 1)}
@@ -258,27 +301,28 @@ def upscale_fused(
         for a in range(qy):
             row = []
             for b in range(qx):
-                taps = {}
-                for name, (dx, dy) in easu_math.TAP_OFFSETS.items():
-                    r0 = (ry[a] - ry_min) + (dy + 1)
-                    c0 = (rx[b] - rx_min) + (dx + 1)
-                    taps[name] = tuple(
-                        tile[ch, r0 : r0 + ph, c0 : c0 + pw] for ch in range(3)
+                taps = {
+                    name: shift2(
+                        tile3,
+                        (ry[a] - ry_min) + (dy + 1),
+                        (rx[b] - rx_min) + (dx + 1),
                     )
-                quad_g = {}
-                for qk, (qdy, qdx) in quad_off.items():
-                    gr = (ry[a] - ry_min) + qdy
-                    gc = (rx[b] - rx_min) + qdx
-                    quad_g[qk] = tuple(
-                        comp[gr : gr + ph, gc : gc + pw] for comp in g_tex
+                    for name, (dx, dy) in easu_math.TAP_OFFSETS.items()
+                }
+                quad_g = {
+                    qk: tuple(
+                        shift2(comp, (ry[a] - ry_min) + qdy, (rx[b] - rx_min) + qdx)
+                        for comp in g_tex
                     )
+                    for qk, (qdy, qdx) in quad_off.items()
+                }
                 ppx = jnp.full((1, 1), px_phase[b], jnp.float32)
                 ppy = jnp.full((1, 1), py_phase[a], jnp.float32)
                 res = easu_math.easu_resolve(
                     taps, ppx, ppy, dtype=dt, dir_dtype=jnp.float32, fast=True,
                     quad_g=quad_g,
                 )
-                row.append(jnp.stack(res, axis=0))  # (3, ph, pw)
+                row.append(res)  # (3, tih, tiw), valid on [0:ph, 0:pw]
             planes.append(row)
 
         # --- RCAS in phase-planar space: the 5-tap cross maps to slices of
@@ -310,41 +354,60 @@ def upscale_fused(
                         ftp = planes[a][0][:, 1 : 1 + tj, 2 : 2 + ti]
 
                     # Border clamp in *global output* coordinates so ragged
-                    # (masked) edge tiles are exact too.
-                    jrow = ty * tj + jax.lax.broadcasted_iota(jnp.int32, (tj, ti), 0)
-                    icol = tx * ti + jax.lax.broadcasted_iota(jnp.int32, (tj, ti), 1)
+                    # (masked) edge tiles are exact too.  RCAS compares are
+                    # not available for 16-bit vectors on all targets; run
+                    # the sharpening stage in f32 and round at the store.
+                    jrow = ty * tj + jax.lax.broadcasted_iota(jnp.int32, (1, tj, ti), 1)
+                    icol = tx * ti + jax.lax.broadcasted_iota(jnp.int32, (1, tj, ti), 2)
                     grow = jrow * qy + a
                     gcol = icol * qx + b
 
-                    def fix(tap, center, mask):
-                        return tuple(
-                            jnp.where(mask, center[ch], t)
-                            for ch, t in enumerate(tap)
-                        )
-
-                    # RCAS compares (isnan / min-max limiters) are not
-                    # available for 16-bit vectors on all targets; run the
-                    # sharpening stage in f32 and round at the store.
-                    def split(p):  # noqa: F811 (keep f32 here)
-                        return tuple(p[ch].astype(jnp.float32) for ch in range(3))
-
-                    e_t = split(e3)
-                    bt = fix(split(bt), e_t, grow == 0)
-                    ht = fix(split(ht), e_t, grow == hout - 1)
-                    dtp = fix(split(dtp), e_t, gcol == 0)
-                    ftp = fix(split(ftp), e_t, gcol == wout - 1)
+                    e_t = e3.astype(jnp.float32)
+                    bt = jnp.where(grow == 0, e_t, bt.astype(jnp.float32))
+                    ht = jnp.where(grow == hout - 1, e_t, ht.astype(jnp.float32))
+                    dtp = jnp.where(gcol == 0, e_t, dtp.astype(jnp.float32))
+                    ftp = jnp.where(gcol == wout - 1, e_t, ftp.astype(jnp.float32))
                     res = easu_math.rcas_resolve(
                         bt, dtp, e_t, ftp, ht, float(rcon.sharpness),
                         denoise=denoise, fast=True
                     )
-                    outs_b.append(jnp.stack(res, axis=0).astype(dt))
+                    outs_b.append(res.astype(dt))
                 else:
                     outs_b.append(e3)
-            # --- Assemble x: riffle column phases along lanes.
-            out_rows.append(_riffle(outs_b, axis=2))  # (3, tj, qx*ti)
+                if assemble == "xla":
+                    out_refs[a * qx + b][:, :, :] = outs_b[-1]
+            if assemble != "xla":
+                # --- Assemble x: riffle column phases along lanes.
+                out_rows.append(_riffle(outs_b, axis=2))  # (3, tj, qx*ti)
 
-        # --- Assemble y: riffle row phases along sublanes, single store.
-        out_ref[:, :, :] = _riffle(out_rows, axis=1)  # (3, qy*tj, qx*ti)
+        if assemble != "xla":
+            # --- Assemble y: riffle row phases along sublanes, single store.
+            out_ref[:, :, :] = _riffle(out_rows, axis=1)  # (3, qy*tj, qx*ti)
+
+    if assemble == "xla":
+        phase_spec = pl.BlockSpec(
+            (3, tj, ti), lambda ty, tx: (0, ty, tx), memory_space=pltpu.VMEM
+        )
+        outs = pl.pallas_call(
+            kernel,
+            grid=(ny, nx),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            out_specs=tuple(phase_spec for _ in range(qy * qx)),
+            out_shape=tuple(
+                jax.ShapeDtypeStruct((3, hpl, wpl), dt) for _ in range(qy * qx)
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((3, tih, tiw), dt),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+            interpret=INTERPRET,
+        )(src)
+        # Interleave phases in one fused transpose+reshape pass:
+        # (qy, qx, 3, hpl, wpl) -> (3, hpl, qy, wpl, qx) -> (3, hout, wout).
+        stackd = jnp.stack(outs).reshape(qy, qx, 3, hpl, wpl)
+        return (
+            stackd.transpose(2, 3, 0, 4, 1).reshape(3, hout, wout)
+        )
 
     out = pl.pallas_call(
         kernel,
