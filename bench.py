@@ -41,8 +41,13 @@ def _timed(f, *args, reps=5):
     return float(np.median(ts))
 
 
-def measure_chain(step, x, n1=10, n2=110, reps=5):
-    """Per-iteration time of an on-device dependency chain (see module doc)."""
+def measure_chain(step, x, n1=10, n2=110, reps=7):
+    """Per-iteration time of an on-device dependency chain (see module doc).
+
+    The two loop lengths are measured in alternation and paired, so slow
+    drift of the shared device's throughput cancels along with the constant
+    dispatch/transfer costs.
+    """
     import jax
     from jax import lax
 
@@ -50,9 +55,20 @@ def measure_chain(step, x, n1=10, n2=110, reps=5):
     def loop(x, n):
         return lax.fori_loop(0, n, lambda i, z: step(z), x)
 
-    t1 = _timed(loop, x, n1, reps=reps)
-    t2 = _timed(loop, x, n2, reps=reps)
-    return (t2 - t1) / (n2 - n1)
+    # compile + warm both variants
+    for n in (n1, n2):
+        r = loop(x, n)
+        _ = np.asarray(jax.tree.leaves(r)[0]).ravel()[:1]
+    diffs = []
+    for _i in range(reps):
+        ts = {}
+        for n in (n1, n2):
+            t0 = time.perf_counter()
+            r = loop(x, n)
+            _ = np.asarray(jax.tree.leaves(r)[0]).ravel()[:1]
+            ts[n] = time.perf_counter() - t0
+        diffs.append((ts[n2] - ts[n1]) / (n2 - n1))
+    return float(np.median(diffs))
 
 
 def main():
@@ -72,6 +88,8 @@ def main():
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.uniform(0, 1, (3, hin, win)).astype(np.float32))
 
+    from fsr_tpu.kernels import dispatch
+
     results = {}
     for name, dt in (("f32", jnp.float32), ("bf16", jnp.bfloat16)):
         if not fused.supported(x.shape, out_hw, con, dt):
@@ -86,6 +104,27 @@ def main():
             results[name] = t
         except Exception as e:  # pragma: no cover - report and continue
             print(f"bench {name} failed: {e}", file=sys.stderr)
+
+    # Secondary configs: the non-integer quality presets (one-hot MXU
+    # gather kernel + RCAS kernel), reported as extra keys.
+    presets = {}
+    for pname, in_p in (("quality_1.5x", (1440, 2560)), ("balanced_1.7x", (1270, 2259))):
+        con_p = EasuConstants.create((in_p[1], in_p[0]), None, (out_hw[1], out_hw[0]))
+        xp = jnp.asarray(
+            np.random.default_rng(1).uniform(0, 1, (3, *in_p)).astype(np.float32)
+        )
+
+        def stepp(z, con_p=con_p, in_p=in_p):
+            out = dispatch.upscale_fused(
+                z, out_hw, con_p, rcon,
+                apply_rcas=True, denoise=False, compute_dtype=jnp.bfloat16,
+            )
+            return out[:, : in_p[0], : in_p[1]].astype(jnp.float32)
+
+        try:
+            presets[pname] = round(measure_chain(stepp, xp, n1=5, n2=45) * 1e3, 3)
+        except Exception as e:  # pragma: no cover
+            print(f"bench {pname} failed: {e}", file=sys.stderr)
 
     if not results:
         print(json.dumps({"metric": "easu_rcas_1080p_to_4k", "value": 0.0,
@@ -105,6 +144,7 @@ def main():
         "compute_dtype": best_name,
         "device": str(dev),
         "all_ms": {k: round(v * 1e3, 3) for k, v in results.items()},
+        "preset_ms_bf16": presets,
     }
     print(json.dumps(line))
 

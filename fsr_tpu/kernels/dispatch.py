@@ -23,11 +23,13 @@ def _on_tpu() -> bool:
 
 
 def supported(image, out_size, con: EasuConstants, compute_dtype) -> bool:
-    from fsr_tpu.kernels import fused
+    from fsr_tpu.kernels import easu_gather, fused
 
     if not _on_tpu():
         return False
-    return fused.supported(image.shape, out_size, con, compute_dtype)
+    return fused.supported(image.shape, out_size, con, compute_dtype) or (
+        easu_gather.supported(image.shape, out_size, con, compute_dtype)
+    )
 
 
 def upscale_fused(
@@ -39,9 +41,18 @@ def upscale_fused(
     denoise: bool,
     compute_dtype,
 ):
-    from fsr_tpu.kernels import fused
+    from fsr_tpu.kernels import easu_gather, fused, rcas_pallas
 
-    return fused.upscale_fused(
-        image, out_size, con, rcon,
-        apply_rcas=apply_rcas, denoise=denoise, compute_dtype=compute_dtype,
-    )
+    if fused.supported(image.shape, out_size, con, compute_dtype):
+        # Integer-ratio phase structure: single fused EASU+RCAS kernel.
+        return fused.upscale_fused(
+            image, out_size, con, rcon,
+            apply_rcas=apply_rcas, denoise=denoise, compute_dtype=compute_dtype,
+        )
+    # Arbitrary ratio: one-hot MXU gather EASU, then the RCAS kernel.
+    out = easu_gather.easu_gather(image, out_size, con, compute_dtype=compute_dtype)
+    if apply_rcas:
+        out = rcas_pallas.rcas_fused(
+            out, rcon, denoise=denoise, compute_dtype=compute_dtype
+        )
+    return out

@@ -1,0 +1,263 @@
+"""General-ratio EASU Pallas kernel: tap gathers as one-hot MXU matmuls.
+
+The fused phase-decomposed kernel (kernels/fused.py) requires the
+output->input mapping to advance one source texel per qx outputs (integer
+ratios).  The quality presets 1.3x/1.5x/1.7x have no such structure: each
+output tile needs a genuine gather of its 12 taps.  TPUs have no vector
+gather — but the gather indices are *static* (the coordinate mapping is
+fixed at trace time), so tap extraction becomes two small matmuls with
+precomputed one-hot selection matrices, riding the MXU instead of fighting
+the VPU:
+
+    tap[dy,dx] = R_dy @ (tile @ St_dx)
+
+where St (per tile column) selects source columns fx(i)+dx and R (per tile
+row) selects source rows fy(j)+dy; the dy/dx variants are rolls of one base
+one-hot matrix.  One-hot selection through the MXU is exact (each output
+element is one product by 1.0).
+
+Subpixel fractions are recomputed in-kernel from iota with the same f32
+arithmetic as the ground-truth coordinate vectors (bit-identical), so the
+kernel needs no per-pixel coordinate inputs.
+
+This covers any EASU ratio (1x..4x area) including Dynamic Resolution
+Scaling offsets.  RCAS runs as the standalone kernel afterwards
+(kernels/rcas_pallas.py) — the gather tiles don't line up for fusion.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from fsr_tpu.core import easu_math
+from fsr_tpu.core.constants import EasuConstants
+from fsr_tpu.ops.easu import easu_coords
+
+INTERPRET = False
+
+
+def supported(in_shape, out_size, con: EasuConstants, compute_dtype) -> bool:
+    if len(in_shape) < 3 or in_shape[-3] != 3:
+        return False
+    if jnp.dtype(compute_dtype) not in (jnp.float32, jnp.bfloat16):
+        return False
+    hout, wout = out_size
+    hin, win = in_shape[-2:]
+    if hout < 16 or wout < 256:
+        return False
+    # EASU contract: 1x to 4x area scaling (ffx_fsr1.h:40); the tile-window
+    # math below also assumes no downscale.
+    return hout >= hin and wout >= win
+
+
+def _pick_tiles(hout: int, wout: int):
+    ti = 256
+    while ti > wout and ti > 128:
+        ti //= 2
+    tj = 64
+    while tj > hout and tj > 8:
+        tj //= 2
+    return tj, ti
+
+
+def _axis_plan(f: np.ndarray, n_out: int, tile: int, pad_lead: int, align: int):
+    """Per-tile aligned window starts and the uniform window size.
+
+    Returns (starts[nt] int32 in padded coords, local[nt, tile] int32,
+    window int).  local[t, u] = source index of output u relative to the
+    window start; taps need local-1 .. local+2, all inside [0, window).
+    """
+    nt = -(-n_out // tile)
+    starts = np.zeros(nt, np.int32)
+    local = np.zeros((nt, tile), np.int32)
+    span = 0
+    for t in range(nt):
+        idx = np.minimum(np.arange(t * tile, (t + 1) * tile), n_out - 1)
+        fw = f[idx].astype(np.int64)
+        start = (fw[0] - 1 + pad_lead) // align * align
+        starts[t] = start
+        local[t] = fw + pad_lead - start
+        span = max(span, int(local[t].max()) + 3)
+    window = -(-span // align) * align
+    return starts, local, window
+
+
+@functools.partial(
+    jax.jit, static_argnames=("out_size", "con", "compute_dtype")
+)
+def easu_gather(
+    image: jnp.ndarray,
+    out_size: Tuple[int, int],
+    con: EasuConstants,
+    compute_dtype=jnp.float32,
+) -> jnp.ndarray:
+    """EASU upscale for arbitrary ratios.  image: (..., 3, Hin, Win)."""
+    if image.ndim > 3:
+        batch = image.shape[:-3]
+        flat = image.reshape((-1,) + image.shape[-3:])
+        fn = jax.vmap(
+            lambda im: easu_gather(im, out_size, con, compute_dtype=compute_dtype)
+        )
+        return fn(flat).reshape(batch + (3,) + tuple(out_size))
+
+    dt = jnp.dtype(compute_dtype)
+    hout, wout = out_size
+    hin, win = image.shape[-2:]
+    fx, fy, _px, _py = easu_coords(con, out_size)
+    tj, ti = _pick_tiles(hout, wout)
+    ny, nx = pl.cdiv(hout, tj), pl.cdiv(wout, ti)
+
+    pad_top = max(0, 2 - int(fy[0]))
+    pad_left = max(0, 2 - int(fx[0]))
+    row_starts, lfy, tih = _axis_plan(fy, hout, tj, pad_top, 8)
+    col_starts, lfx, tiw = _axis_plan(fx, wout, ti, pad_left, 128)
+    pad_bottom = max(0, int(row_starts.max()) + tih - (hin + pad_top))
+    pad_right = max(0, int(col_starts.max()) + tiw - (win + pad_left))
+
+    src = jnp.pad(
+        image.astype(dt),
+        ((0, 0), (pad_top, pad_bottom), (pad_left, pad_right)),
+        mode="edge",
+    )
+
+    # Base one-hot selectors at shift -1 (the earliest tap); other shifts
+    # are in-kernel rolls.  R[t, j, r] = 1 iff r == lfy[t, j] - 1;
+    # St[t, c, i] = 1 iff c == lfx[t, i] - 1 (pre-transposed for tile @ St).
+    mm_dt = jnp.float32 if dt == jnp.float32 else jnp.bfloat16
+    R = np.zeros((ny, tj, tih), np.float32)
+    for t in range(ny):
+        R[t, np.arange(tj), lfy[t] - 1] = 1.0
+    St = np.zeros((nx, tiw, ti), np.float32)
+    for t in range(nx):
+        St[t, lfx[t] - 1, np.arange(ti)] = 1.0
+    R = jnp.asarray(R, mm_dt)
+    St = jnp.asarray(St, mm_dt)
+
+    sx, sy = float(con.scale[0]), float(con.scale[1])
+    ox, oy = float(con.offset[0]), float(con.offset[1])
+
+    def kernel(rs_ref, cs_ref, src_ref, r_ref, st_ref, out_ref, tile, sem):
+        ty = pl.program_id(0)
+        tx = pl.program_id(1)
+        rstart = pl.multiple_of(rs_ref[ty], 8)
+        cstart = pl.multiple_of(cs_ref[tx], 128)
+        dma = pltpu.make_async_copy(
+            src_ref.at[:, pl.ds(rstart, tih), pl.ds(cstart, tiw)],
+            tile, sem,
+        )
+        dma.start()
+        dma.wait()
+
+        def lshift(arr, k, axis):
+            """result[i] = arr[i + k] (data shifts)."""
+            if k == 0:
+                return arr
+            if jnp.dtype(arr.dtype).itemsize < 4:
+                return lshift(arr.astype(jnp.float32), k, axis).astype(arr.dtype)
+            return pltpu.roll(arr, (arr.shape[axis] - k) % arr.shape[axis], axis=axis)
+
+        def rshift(arr, k, axis):
+            """result[i] = arr[i - k] (one-hot selector shifts)."""
+            if k == 0:
+                return arr
+            if jnp.dtype(arr.dtype).itemsize < 4:
+                return rshift(arr.astype(jnp.float32), k, axis).astype(arr.dtype)
+            return pltpu.roll(arr, k % arr.shape[axis], axis=axis)
+
+        tile3 = tile[:, :, :]
+        lumt = (
+            tile3[2].astype(jnp.float32) * 0.5
+            + (tile3[0].astype(jnp.float32) * 0.5 + tile3[1].astype(jnp.float32))
+        )
+        # g index (m, n) = '+'-response at texel (m+1, n+1).
+        g_tex = easu_math.easu_texel_response(
+            lshift(lumt, 1, 1),                      # a: (m, n+1)
+            lshift(lumt, 1, 0),                      # b: (m+1, n)
+            lshift(lshift(lumt, 1, 0), 1, 1),        # c: (m+1, n+1)
+            lshift(lshift(lumt, 1, 0), 2, 1),        # d: (m+1, n+2)
+            lshift(lshift(lumt, 2, 0), 1, 1),        # e: (m+2, n+1)
+            fast=True,
+        )
+
+        r0 = r_ref[0]    # (tj, tih): selects source row lfy - 1
+        st0 = st_ref[0]  # (tiw, ti): selects source col lfx - 1
+
+        # One-hot selection must not quantize the data operand: the MXU's
+        # default f32 mode multiplies through a single bf16 pass, so force
+        # HIGHEST on the f32 path (Mosaic rejects HIGH/bf16x3; a manual
+        # three-term bf16 split would halve this cost — see PLAN.md).
+        prec = jax.lax.Precision.HIGHEST if mm_dt == jnp.float32 else None
+
+        def mm(a, b):
+            return jnp.dot(
+                a.astype(mm_dt), b.astype(mm_dt),
+                preferred_element_type=jnp.float32,
+                precision=prec,
+            )
+
+        # Selector variants: index k selects (lf + k - 1).
+        st_k = {k: rshift(st0, k, 0) for k in range(4)}
+        r_k = {k: rshift(r0, k, 1) for k in range(4)}
+
+        # Column gather: cg[k][ch] = tile_ch selected at col lfx + k - 1.
+        cg = {k: [mm(tile3[ch].astype(jnp.float32), st_k[k]) for ch in range(3)]
+              for k in range(4)}
+        # g gather columns: g col index = texel - 1 = (lfx + qdx) - 1 ->
+        # selector k = qdx + 1 - 1 + ... g grid already offset by -1, so
+        # selecting g col (lfx + qdx - 1) uses selector k = qdx.
+        cgg = {qdx: [mm(comp, st_k[qdx]) for comp in g_tex] for qdx in (0, 1)}
+
+        taps = {}
+        for name, (dx, dy) in easu_math.TAP_OFFSETS.items():
+            planes = cg[dx + 1]
+            taps[name] = jnp.stack(
+                [mm(r_k[dy + 1], p) for p in planes], axis=0
+            )
+        quad_off = {"s": (0, 0), "t": (0, 1), "u": (1, 0), "v": (1, 1)}
+        quad_g = {
+            qk: tuple(mm(r_k[qdy], p) for p in cgg[qdx])
+            for qk, (qdy, qdx) in quad_off.items()
+        }
+
+        # Subpixel fractions, recomputed with the exact f32 host arithmetic.
+        ycoord = (ty * tj + jax.lax.broadcasted_iota(jnp.int32, (tj, 1), 0)).astype(jnp.float32)
+        xcoord = (tx * ti + jax.lax.broadcasted_iota(jnp.int32, (1, ti), 1)).astype(jnp.float32)
+        ppy_full = ycoord * jnp.float32(sy) + jnp.float32(oy)
+        ppx_full = xcoord * jnp.float32(sx) + jnp.float32(ox)
+        ppy = ppy_full - jnp.floor(ppy_full)
+        ppx = ppx_full - jnp.floor(ppx_full)
+
+        res = easu_math.easu_resolve(
+            taps, ppx, ppy, dtype=dt, dir_dtype=jnp.float32, fast=True,
+            quad_g=quad_g,
+        )
+        out_ref[:, :, :] = res.astype(dt)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(ny, nx),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # src
+            pl.BlockSpec((1, tj, tih), lambda ty, tx, *_: (ty, 0, 0)),
+            pl.BlockSpec((1, tiw, ti), lambda ty, tx, *_: (tx, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((3, tj, ti), lambda ty, tx, *_: (0, ty, tx)),
+        scratch_shapes=[
+            pltpu.VMEM((3, tih, tiw), dt),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((3, hout, wout), dt),
+        interpret=INTERPRET,
+    )(jnp.asarray(row_starts), jnp.asarray(col_starts), src, R, St)
+    return out

@@ -1,0 +1,129 @@
+"""Standalone RCAS Pallas kernel (FsrRcasF semantics, any image size).
+
+Used on its own (sharpening without scaling — the reference supports RCAS
+as an independent pass, ffx_fsr1.h:602-608) and as the second stage of the
+general-ratio path (kernels/easu_gather.py), where EASU and RCAS tile
+structures don't line up for fusion.
+
+The 5-tap cross is extracted with full-shape rolls on a vreg-aligned input
+tile with a 1px halo (see kernels/fused.py for the roll rationale); border
+clamping uses global-coordinate masks.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from fsr_tpu.core import easu_math
+from fsr_tpu.core.constants import RcasConstants
+
+INTERPRET = False
+
+
+def _pick_tiles(h: int, w: int):
+    tw = 512
+    while tw > w and tw > 128:
+        tw //= 2
+    th = 64
+    while th > h and th > 8:
+        th //= 2
+    return th, tw
+
+
+@functools.partial(
+    jax.jit, static_argnames=("rcon", "denoise", "compute_dtype")
+)
+def rcas_fused(
+    image: jnp.ndarray,
+    rcon: RcasConstants,
+    denoise: bool = False,
+    compute_dtype=None,
+) -> jnp.ndarray:
+    """RCAS sharpen on TPU.  image: (..., 3, H, W) in [0, 1]."""
+    if image.ndim > 3:
+        batch = image.shape[:-3]
+        flat = image.reshape((-1,) + image.shape[-3:])
+        fn = jax.vmap(
+            lambda im: rcas_fused(im, rcon, denoise=denoise, compute_dtype=compute_dtype)
+        )
+        return fn(flat).reshape(batch + image.shape[-3:])
+
+    dt = jnp.dtype(compute_dtype) if compute_dtype is not None else image.dtype
+    if dt == jnp.float16:
+        dt = jnp.dtype(jnp.float32)  # no Mosaic fp16; match XLA-f16 via f32 math
+    h, w = image.shape[-2:]
+    th, tw = _pick_tiles(h, w)
+    ny, nx = pl.cdiv(h, th), pl.cdiv(w, tw)
+
+    ru = lambda v, m: -(-v // m) * m
+    tih = ru(th + 2, 8)
+    tiw = ru(tw + 2, 128)
+    pad_top = pad_left = 1
+    pad_bottom = max(0, (ny - 1) * th + tih - (h + pad_top))
+    pad_right = max(0, (nx - 1) * tw + tiw - (w + pad_left))
+    src = jnp.pad(
+        image.astype(dt),
+        ((0, 0), (pad_top, pad_bottom), (pad_left, pad_right)),
+        mode="edge",
+    )
+    sharp = float(rcon.sharpness)
+
+    def kernel(src_ref, out_ref, tile, sem):
+        ty = pl.program_id(0)
+        tx = pl.program_id(1)
+        dma = pltpu.make_async_copy(
+            src_ref.at[:, pl.ds(ty * th, tih), pl.ds(tx * tw, tiw)], tile, sem
+        )
+        dma.start()
+        dma.wait()
+
+        def shift2(arr, dy, dx):
+            if jnp.dtype(arr.dtype).itemsize < 4:
+                return shift2(arr.astype(jnp.float32), dy, dx).astype(arr.dtype)
+            r = arr
+            ax = r.ndim
+            if dx:
+                r = pltpu.roll(r, (r.shape[ax - 1] - dx) % r.shape[ax - 1], axis=ax - 1)
+            if dy:
+                r = pltpu.roll(r, (r.shape[ax - 2] - dy) % r.shape[ax - 2], axis=ax - 2)
+            return r
+
+        t3 = tile[:, :, :].astype(jnp.float32)
+        # index (m, n) = pixel (m, n) of the tile's interior origin (1, 1)
+        e = shift2(t3, 1, 1)
+        b = shift2(t3, 0, 1)
+        hh = shift2(t3, 2, 1)
+        d = shift2(t3, 1, 0)
+        f = shift2(t3, 1, 2)
+
+        grow = ty * th + jax.lax.broadcasted_iota(jnp.int32, (1,) + t3.shape[1:], 1)
+        gcol = tx * tw + jax.lax.broadcasted_iota(jnp.int32, (1,) + t3.shape[1:], 2)
+        b = jnp.where(grow == 0, e, b)
+        hh = jnp.where(grow == h - 1, e, hh)
+        d = jnp.where(gcol == 0, e, d)
+        f = jnp.where(gcol == w - 1, e, f)
+
+        res = easu_math.rcas_resolve(b, d, e, f, hh, sharp, denoise=denoise, fast=True)
+        out_ref[:, :, :] = res[:, :th, :tw].astype(dt)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(ny, nx),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(
+            (3, th, tw), lambda ty, tx: (0, ty, tx), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((3, h, w), dt),
+        scratch_shapes=[
+            pltpu.VMEM((3, tih, tiw), dt),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=INTERPRET,
+    )(src)
+    return out

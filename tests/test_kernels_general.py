@@ -1,0 +1,105 @@
+"""General-ratio gather kernel + standalone RCAS kernel (interpret mode).
+
+Tolerance note: interpret-mode pl.reciprocal(approx=True) is a much cruder
+estimate than the TPU instruction (one Newton step lands at ~1e-4 instead of
+~1e-7), so interpret parity is bounded at 5e-4; the real-TPU deviation vs
+the oracle is ~2e-7 (checked on hardware during development and by bench).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from fsr_tpu.core.constants import EasuConstants, RcasConstants
+from fsr_tpu.kernels import easu_gather, rcas_pallas
+from fsr_tpu.ops import easu as easu_ops
+from fsr_tpu.ops import rcas as rcas_ops
+
+ATOL = 5e-4
+
+
+@pytest.fixture(autouse=True)
+def _interpret():
+    easu_gather.INTERPRET = True
+    rcas_pallas.INTERPRET = True
+    yield
+    easu_gather.INTERPRET = False
+    rcas_pallas.INTERPRET = False
+
+
+def _con(in_hw, out_hw):
+    return EasuConstants.create((in_hw[1], in_hw[0]), None, (out_hw[1], out_hw[0]))
+
+
+RATIOS = [
+    ((72, 128), (108, 192)),   # 1.5x
+    ((64, 114), (108, 192)),   # ~1.7x ragged
+    ((84, 148), (108, 192)),   # ~1.3x ragged
+    ((54, 96), (108, 192)),    # 2x (gather path must handle it too)
+    ((100, 300), (130, 390)),  # 1.3x wide, multiple col tiles
+]
+
+
+@pytest.mark.parametrize("in_hw,out_hw", RATIOS)
+def test_easu_gather_matches_xla(rng, in_hw, out_hw):
+    img = rng.uniform(0, 1, (3, *in_hw)).astype(np.float32)
+    con = _con(in_hw, out_hw)
+    got = np.asarray(easu_gather.easu_gather(jnp.asarray(img), out_hw, con))
+    want = np.asarray(easu_ops.easu(jnp.asarray(img), out_hw, con))
+    np.testing.assert_allclose(got, want, atol=ATOL, rtol=0)
+
+
+def test_easu_gather_drs_offset(rng):
+    # Viewport smaller than container, with an offset (FsrEasuConOffset).
+    img = rng.uniform(0, 1, (3, 96, 160)).astype(np.float32)
+    con = EasuConstants.create((120, 64), (160, 96), (256, 128), (16, 8))
+    out_hw = (128, 256)
+    got = np.asarray(easu_gather.easu_gather(jnp.asarray(img), out_hw, con))
+    want = np.asarray(easu_ops.easu(jnp.asarray(img), out_hw, con))
+    np.testing.assert_allclose(got, want, atol=ATOL, rtol=0)
+
+
+def test_easu_gather_batched(rng):
+    in_hw, out_hw = (48, 128), (72, 192)
+    imgs = rng.uniform(0, 1, (2, 3, *in_hw)).astype(np.float32)
+    con = _con(in_hw, out_hw)
+    got = np.asarray(easu_gather.easu_gather(jnp.asarray(imgs), out_hw, con))
+    want = np.asarray(easu_ops.easu(jnp.asarray(imgs), out_hw, con))
+    assert got.shape == (2, 3, *out_hw)
+    np.testing.assert_allclose(got, want, atol=ATOL, rtol=0)
+
+
+@pytest.mark.parametrize("hw", [(64, 160), (67, 131)])
+def test_rcas_kernel_matches_xla(rng, hw):
+    img = rng.uniform(0, 1, (3, *hw)).astype(np.float32)
+    rcon = RcasConstants(0.25)
+    got = np.asarray(rcas_pallas.rcas_fused(jnp.asarray(img), rcon))
+    want = np.asarray(rcas_ops.rcas(jnp.asarray(img), rcon))
+    np.testing.assert_allclose(got, want, atol=ATOL, rtol=0)
+
+
+def test_rcas_kernel_isolated_pixel():
+    img = np.zeros((3, 40, 130), np.float32)
+    img[:, 20, 60] = 0.5
+    got = np.asarray(rcas_pallas.rcas_fused(jnp.asarray(img), RcasConstants(0.0)))
+    want = np.asarray(rcas_ops.rcas(jnp.asarray(img), RcasConstants(0.0)))
+    assert np.isfinite(got).all()
+    np.testing.assert_allclose(got, want, atol=ATOL, rtol=0)
+
+
+def test_rcas_kernel_denoise_batched(rng):
+    imgs = rng.uniform(0, 1, (2, 3, 32, 140)).astype(np.float32)
+    rcon = RcasConstants(0.5)
+    got = np.asarray(rcas_pallas.rcas_fused(jnp.asarray(imgs), rcon, denoise=True))
+    want = np.asarray(rcas_ops.rcas(jnp.asarray(imgs), rcon, denoise=True))
+    np.testing.assert_allclose(got, want, atol=ATOL, rtol=0)
+
+
+def test_gather_supported_gating():
+    con = _con((720, 1280), (1080, 1920))
+    assert easu_gather.supported((3, 720, 1280), (1080, 1920), con, jnp.float32)
+    assert easu_gather.supported((3, 720, 1280), (1080, 1920), con, jnp.bfloat16)
+    assert not easu_gather.supported((3, 720, 1280), (1080, 1920), con, jnp.float16)
+    # downscale is out of the EASU contract
+    con_dn = _con((1080, 1920), (720, 1280))
+    assert not easu_gather.supported((3, 1080, 1920), (720, 1280), con_dn, jnp.float32)
