@@ -9,10 +9,12 @@ the RX 6800 XT-class <=0.40 ms full-FSR-pass budget at 4K, i.e.
 ~20.7 Gpix/s output (BASELINE.md, FidelityFX-FSR-Overview PDF p.9).
 
 Timing notes: the axon tunnel dispatch path has tens of ms of HTTP
-round-trip jitter and memoizes repeated identical dispatches, so wall-time
-of single dispatches is meaningless.  We time an on-device dependency chain
-(lax.fori_loop of upscale -> crop) at two iteration counts and divide the
-difference — constant costs (transfer, dispatch, fetch) cancel.
+round-trip jitter, memoizes repeated identical dispatches, and the chip is
+time-shared (throughput drifts several-x across minutes), so wall-clock
+timing of dispatches is meaningless.  We measure *device op time* from the
+JAX profiler trace (utils.profiling.op_times): the sum of on-device op
+durations per call, which is self-consistent within a run.  A dependency-
+chain wall-clock measurement (measure_chain) is kept as a fallback.
 """
 
 from __future__ import annotations
@@ -89,19 +91,23 @@ def main():
     x = jnp.asarray(rng.uniform(0, 1, (3, hin, win)).astype(np.float32))
 
     from fsr_tpu.kernels import dispatch
+    from fsr_tpu.utils.profiling import op_times
+
+    def device_ms(fn):
+        """Total on-device op ms per call: best of 3 trace windows (the
+        shared chip's throughput drifts several-x between epochs)."""
+        return min(sum(op_times(fn, iters=4).values()) for _ in range(3))
 
     results = {}
     for name, dt in (("f32", jnp.float32), ("bf16", jnp.bfloat16)):
         if not fused.supported(x.shape, out_hw, con, dt):
             continue
 
-        def step(z, dt=dt):
-            out = fused.upscale_fused(z, out_hw, con, rcon, compute_dtype=dt)
-            return out[:, :hin, :win].astype(jnp.float32)
-
+        f = jax.jit(
+            lambda z, dt=dt: fused.upscale_fused(z, out_hw, con, rcon, compute_dtype=dt)
+        )
         try:
-            t = measure_chain(step, x)
-            results[name] = t
+            results[name] = device_ms(lambda: f(x)) / 1e3
         except Exception as e:  # pragma: no cover - report and continue
             print(f"bench {name} failed: {e}", file=sys.stderr)
 
@@ -113,16 +119,14 @@ def main():
         xp = jnp.asarray(
             np.random.default_rng(1).uniform(0, 1, (3, *in_p)).astype(np.float32)
         )
-
-        def stepp(z, con_p=con_p, in_p=in_p):
-            out = dispatch.upscale_fused(
+        fp = jax.jit(
+            lambda z, con_p=con_p: dispatch.upscale_fused(
                 z, out_hw, con_p, rcon,
                 apply_rcas=True, denoise=False, compute_dtype=jnp.bfloat16,
             )
-            return out[:, : in_p[0], : in_p[1]].astype(jnp.float32)
-
+        )
         try:
-            presets[pname] = round(measure_chain(stepp, xp, n1=5, n2=45) * 1e3, 3)
+            presets[pname] = round(device_ms(lambda: fp(xp)), 3)
         except Exception as e:  # pragma: no cover
             print(f"bench {pname} failed: {e}", file=sys.stderr)
 

@@ -1,0 +1,79 @@
+"""Sharded dataset preprocessing with FSR upscaling (BASELINE config 5).
+
+Batched EASU upscale of an image corpus across a TPU slice inside a JAX
+input pipeline: frames stream in host-side batches, get batch-sharded over
+the mesh, upscaled (EASU+RCAS), optionally dithered to 8-bit, and returned
+for the downstream consumer (e.g. training-data augmentation at higher
+resolution).
+
+Runs anywhere: on a v5e-8 slice the batch shards over 8 chips via ICI; on
+this repo's CI it runs on the virtual 8-device CPU mesh:
+
+    JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+        python examples/dataset_preprocessing.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def synthetic_corpus(n_batches: int, batch: int, hw, seed: int = 0):
+    """Stand-in for a real loader (tf.data / grain / webdataset)."""
+    rng = np.random.default_rng(seed)
+    for _ in range(n_batches):
+        yield rng.uniform(0, 1, (batch, 3, *hw)).astype(np.float32)
+
+
+def main():
+    import jax
+    if len(jax.devices()) < 2:
+        try:
+            jax.config.update("jax_platforms", "cpu")
+            from jax.extend.backend import clear_backends
+            clear_backends()
+        except Exception:
+            pass
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from fsr_tpu import api
+    from fsr_tpu.ops import extras
+    from fsr_tpu.parallel import sharding
+
+    n_dev = len(jax.devices())
+    mesh = sharding.make_mesh(n_dev, ("batch",))
+    spec = NamedSharding(mesh, P("batch", None, None, None))
+
+    in_hw, out_hw = (64, 128), (128, 256)
+    batch = 4 * n_dev
+
+    @jax.jit
+    def preprocess(frames, frame_idx):
+        up = api.upscale(frames, out_size=out_hw, sharpness=0.25, impl="auto")
+        dit = extras.tepd_dither(out_hw, frame_idx)
+        return extras.tepd_quantize(up, dit, bits=8)
+
+    total = 0
+    t0 = time.perf_counter()
+    for i, host_batch in enumerate(synthetic_corpus(4, batch, in_hw)):
+        frames = jax.device_put(jnp.asarray(host_batch), spec)
+        out = preprocess(frames, i)
+        out.block_until_ready()
+        total += out.shape[0]
+        assert out.shape == (batch, 3, *out_hw)
+    dt = time.perf_counter() - t0
+    print(
+        f"preprocessed {total} frames {in_hw}->{out_hw} on {n_dev} devices "
+        f"in {dt:.2f}s ({total / dt:.1f} frames/s incl. host transfer)"
+    )
+
+
+if __name__ == "__main__":
+    main()
