@@ -19,7 +19,12 @@ __all__ = [
     "prx_lo_rsq",
     "prx_lo_sqrt",
     "rcp",
+    "rcp_fast",
     "sat",
+    "p_sin",
+    "p_cos",
+    "fis_to_u32",
+    "fis_from_u32",
 ]
 
 
@@ -105,3 +110,40 @@ def rcp_fast(a: jnp.ndarray) -> jnp.ndarray:
 def sat(a: jnp.ndarray) -> jnp.ndarray:
     """ASat: clamp to [0, 1]."""
     return jnp.clip(a, jnp.asarray(0.0, a.dtype), jnp.asarray(1.0, a.dtype))
+
+
+# --- Parabolic sin/cos (ffx_a.h:1919-1943) ----------------------------------
+# Input {-1..1} represents {0..2pi}; output {-1/4..1/4} represents {-1..1}.
+
+
+def p_sin(x: jnp.ndarray) -> jnp.ndarray:
+    """APSin: one-FMA parabolic sine approximation."""
+    return x * jnp.abs(x) - x
+
+
+def p_cos(x: jnp.ndarray) -> jnp.ndarray:
+    """APCos via phase-shifted APSin."""
+    half = jnp.asarray(0.5, x.dtype)
+    x = x * half + jnp.asarray(0.75, x.dtype)
+    x = x - jnp.floor(x)
+    x = x * jnp.asarray(2.0, x.dtype) - jnp.asarray(1.0, x.dtype)
+    return p_sin(x)
+
+
+# --- [FIS] float-integer-sortable (ffx_a.h:1533-1559) ------------------------
+# Order-preserving float <-> uint mapping (atomic-max / sort tricks).
+
+
+def fis_to_u32(x: jnp.ndarray) -> jnp.ndarray:
+    u = lax.bitcast_convert_type(x.astype(jnp.float32), jnp.uint32)
+    mask = jnp.where(
+        (u >> jnp.uint32(31)) > 0, jnp.uint32(0xFFFFFFFF), jnp.uint32(0x80000000)
+    )
+    return u ^ mask
+
+
+def fis_from_u32(u: jnp.ndarray) -> jnp.ndarray:
+    mask = jnp.where(
+        (u >> jnp.uint32(31)) > 0, jnp.uint32(0x80000000), jnp.uint32(0xFFFFFFFF)
+    )
+    return lax.bitcast_convert_type(u ^ mask, jnp.float32)

@@ -102,6 +102,14 @@ def _lo_rcp(x, dt, hi_rcp=None):
     return (hi_rcp or approx.rcp)(x)
 
 
+def _sat_fastpath(x, dt, hi_rcp_used: bool):
+    """Plain clamp when NaN is impossible (f32 bit-trick rcp is finite at 0);
+    NaN-flushing select otherwise."""
+    if dt == jnp.float32 and not hi_rcp_used:
+        return jnp.clip(x, jnp.asarray(0.0, dt), jnp.asarray(1.0, dt))
+    return _sat(x)
+
+
 def easu_texel_response(l_a, l_b, l_c, l_d, l_e, fast: bool = False):
     """Per-texel '+'-pattern direction/length response (gx, gy, glen_x, glen_y).
 
@@ -113,17 +121,18 @@ def easu_texel_response(l_a, l_b, l_c, l_d, l_e, fast: bool = False):
     """
     dt = l_c.dtype
     hi_rcp = approx.rcp_fast if fast else approx.rcp
+    prx = dt == jnp.float32  # _set_rcp uses the finite bit trick for f32
     dc = l_d - l_c
     cb = l_c - l_b
     len_x = _set_rcp(jnp.maximum(jnp.abs(dc), jnp.abs(cb)), dt, exact=False, hi_rcp=hi_rcp)
     gx = l_d - l_b
-    len_x = _sat(jnp.abs(gx) * len_x)
+    len_x = _sat_fastpath(jnp.abs(gx) * len_x, dt, hi_rcp_used=not prx)
     len_x = len_x * len_x
     ec = l_e - l_c
     ca = l_c - l_a
     len_y = _set_rcp(jnp.maximum(jnp.abs(ec), jnp.abs(ca)), dt, exact=False, hi_rcp=hi_rcp)
     gy = l_e - l_a
-    len_y = _sat(jnp.abs(gy) * len_y)
+    len_y = _sat_fastpath(jnp.abs(gy) * len_y, dt, hi_rcp_used=not prx)
     len_y = len_y * len_y
     return gx, gy, len_x, len_y
 
@@ -292,6 +301,14 @@ def easu_resolve(
 
     shape_hw = (lum["f"] if lum is not None else quad_g["s"][0]).shape
 
+    if fast:
+        # Distribute len2 into the rotation vectors once per pixel (saves
+        # two multiplies per tap; ~1 ulp reassociation, kernels only).
+        dlx = dirx * len2_x
+        dly = diry * len2_x
+        dmx = (-diry) * len2_y
+        dmy = dirx * len2_y
+
     def accumulate_taps(names):
         if stacked:
             ac = jnp.zeros_like(taps["f"], dtype=dt)
@@ -302,14 +319,22 @@ def easu_resolve(
             dx, dy = TAP_OFFSETS[name]
             off_x = c(float(dx)) - ppx
             off_y = c(float(dy)) - ppy
-            vx = (off_x * dirx + off_y * diry) * len2_x
-            vy = (off_x * (-diry) + off_y * dirx) * len2_y
+            if fast:
+                vx = off_x * dlx + off_y * dly
+                vy = off_x * dmx + off_y * dmy
+            else:
+                vx = (off_x * dirx + off_y * diry) * len2_x
+                vy = (off_x * (-diry) + off_y * dirx) * len2_y
             d2 = jnp.minimum(vx * vx + vy * vy, clp)
-            w_b = c(2.0 / 5.0) * d2 + c(-1.0)
             w_a = lob * d2 + c(-1.0)
-            w_b = w_b * w_b
             w_a = w_a * w_a
-            w_b = c(25.0 / 16.0) * w_b + c(-(25.0 / 16.0 - 1.0))
+            if fast:
+                # Horner form of 25/16*(2/5*d2-1)^2 - 9/16 (one op fewer).
+                w_b = (c(0.25) * d2 + c(-1.25)) * d2 + c(1.0)
+            else:
+                w_b = c(2.0 / 5.0) * d2 + c(-1.0)
+                w_b = w_b * w_b
+                w_b = c(25.0 / 16.0) * w_b + c(-(25.0 / 16.0 - 1.0))
             w = w_b * w_a
             if stacked:
                 ac = ac + taps[name].astype(dt) * w[None]

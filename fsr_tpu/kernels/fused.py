@@ -137,7 +137,9 @@ def _riffle2(a: jnp.ndarray, b: jnp.ndarray, axis: int) -> jnp.ndarray:
         a = a.astype(jnp.float32)
         b = b.astype(jnp.float32)
     c = jnp.concatenate([a, b], axis=axis)
-    idx = jax.lax.broadcasted_iota(jnp.int32, c.shape, axis)
+    # Masks broadcast over leading (channel) dims: compute them 2-D.
+    mshape = (1,) * (c.ndim - 2) + c.shape[-2:]
+    idx = jax.lax.broadcasted_iota(jnp.int32, mshape, axis)
     s = w // 2
     while s >= 1:
         seg = idx // s

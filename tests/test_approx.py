@@ -69,3 +69,28 @@ def test_accuracy_vs_true():
     assert rel(ref.prx_med_rcp_f32(x), 1.0 / x) < 0.004
     assert rel(ref.prx_lo_rsq_f32(x), 1.0 / np.sqrt(x)) < 0.047
     assert rel(ref.prx_lo_sqrt_f32(x), np.sqrt(x)) < 0.042
+
+
+def test_parabolic_sin_cos():
+    # {-1..1} represents {0..2pi}; output {-1/4..1/4} represents {-1..1}.
+    x = np.linspace(-1.0, 1.0, 257, dtype=np.float32)
+    got = np.asarray(approx.p_sin(jnp.asarray(x))) * 4.0
+    want = np.sin((x + 1.0) * np.pi)  # input -1 -> angle 0? map: x in {-1..1} ~ {0..2pi}
+    # The parabola approximates sin with the convention sin(pi*x) = -4*APSin(x)
+    want2 = -np.sin(np.pi * x)
+    assert np.max(np.abs(got - want2)) < 0.06
+    gc = np.asarray(approx.p_cos(jnp.asarray(x))) * 4.0
+    assert np.max(np.abs(gc - (-np.cos(np.pi * x)))) < 0.06
+
+
+def test_fis_sortable_roundtrip(rng):
+    x = np.concatenate([
+        rng.uniform(-1e6, 1e6, 4096), [0.0, -0.0, 1.0, -1.0, 3.4e38, -3.4e38]
+    ]).astype(np.float32)
+    u = np.asarray(approx.fis_to_u32(jnp.asarray(x)))
+    back = np.asarray(approx.fis_from_u32(jnp.asarray(u)))
+    np.testing.assert_array_equal(back.view(np.uint32), x.view(np.uint32))
+    # Order preservation: sorting the uints sorts the floats.
+    order_f = np.argsort(x, kind="stable")
+    order_u = np.argsort(u, kind="stable")
+    np.testing.assert_array_equal(x[order_f], x[order_u])
