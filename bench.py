@@ -130,6 +130,48 @@ def main():
         except Exception as e:  # pragma: no cover
             print(f"bench {pname} failed: {e}", file=sys.stderr)
 
+    # Config 1: EASU-only 2x, 960x540 -> 1080p.
+    extras = {}
+    try:
+        con1 = EasuConstants.create((960, 540), None, (1920, 1080))
+        x1 = jnp.asarray(
+            np.random.default_rng(2).uniform(0, 1, (3, 540, 960)).astype(np.float32)
+        )
+        f1 = jax.jit(
+            lambda z: fused.upscale_fused(z, (1080, 1920), con1, rcon, apply_rcas=False)
+        )
+        extras["easu_only_540p_to_1080p_ms"] = round(device_ms(lambda: f1(x1)), 3)
+    except Exception as e:  # pragma: no cover
+        print(f"bench config1 failed: {e}", file=sys.stderr)
+
+    # Config 4: full pipeline (SRTM + EASU+RCAS + LFGA + TEPD), batch 16 @ 4K.
+    try:
+        from fsr_tpu.ops import extras as xtr
+
+        b = 16
+        xb = jnp.asarray(
+            np.random.default_rng(3).uniform(0, 4.0, (b, 3, hin, win)).astype(np.float32)
+        )
+        grain = jnp.asarray(
+            np.random.default_rng(4).uniform(-0.5, 0.5, (3, *out_hw)).astype(np.float32)
+        )
+
+        @jax.jit
+        def pipe(z):
+            z = xtr.srtm(z)
+            up = fused.upscale_fused(z, out_hw, con, rcon, compute_dtype=jnp.bfloat16)
+            up = xtr.lfga(up.astype(jnp.float32), grain, 0.25)
+            dit = xtr.tepd_dither(out_hw, 0)
+            return xtr.tepd_quantize(up, dit, bits=10)
+
+        extras["pipeline_batch16_4k_ms_per_frame"] = round(
+            device_ms(lambda: pipe(xb)) / b, 3
+        )
+    except Exception as e:  # pragma: no cover
+        print(f"bench config4 failed: {e}", file=sys.stderr)
+    # Config 5 (v5e-8 sharded preprocessing) needs a multi-chip slice; it is
+    # exercised by examples/dataset_preprocessing.py and dryrun_multichip.
+
     if not results:
         print(json.dumps({"metric": "easu_rcas_1080p_to_4k", "value": 0.0,
                           "unit": "Mpix/s", "vs_baseline": 0.0,
@@ -149,6 +191,7 @@ def main():
         "device": str(dev),
         "all_ms": {k: round(v * 1e3, 3) for k, v in results.items()},
         "preset_ms_bf16": presets,
+        **extras,
     }
     print(json.dumps(line))
 

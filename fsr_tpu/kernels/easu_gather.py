@@ -130,6 +130,10 @@ def easu_gather(
     # Base one-hot selectors at shift -1 (the earliest tap); other shifts
     # are in-kernel rolls.  R[t, j, r] = 1 iff r == lfy[t, j] - 1;
     # St[t, c, i] = 1 iff c == lfx[t, i] - 1 (pre-transposed for tile @ St).
+    # Selectors are stored bf16 (1.0 is exact); on the f32 path the *data*
+    # operand is split into three bf16 terms whose sum is exactly the f32
+    # value, so selection stays bit-exact with bf16-rate matmuls (Mosaic
+    # rejects Precision.HIGH, and HIGHEST costs 6 passes).
     mm_dt = jnp.float32 if dt == jnp.float32 else jnp.bfloat16
     R = np.zeros((ny, tj, tih), np.float32)
     for t in range(ny):
@@ -137,8 +141,8 @@ def easu_gather(
     St = np.zeros((nx, tiw, ti), np.float32)
     for t in range(nx):
         St[t, lfx[t] - 1, np.arange(ti)] = 1.0
-    R = jnp.asarray(R, mm_dt)
-    St = jnp.asarray(St, mm_dt)
+    R = jnp.asarray(R, jnp.bfloat16)
+    St = jnp.asarray(St, jnp.bfloat16)
 
     sx, sy = float(con.scale[0]), float(con.scale[1])
     ox, oy = float(con.offset[0]), float(con.offset[1])
@@ -189,40 +193,56 @@ def easu_gather(
         r0 = r_ref[0]    # (tj, tih): selects source row lfy - 1
         st0 = st_ref[0]  # (tiw, ti): selects source col lfx - 1
 
-        # One-hot selection must not quantize the data operand: the MXU's
-        # default f32 mode multiplies through a single bf16 pass, so force
-        # HIGHEST on the f32 path (Mosaic rejects HIGH/bf16x3; a manual
-        # three-term bf16 split would halve this cost — see PLAN.md).
-        prec = jax.lax.Precision.HIGHEST if mm_dt == jnp.float32 else None
-
-        def mm(a, b):
+        def bf16_dot(a, b):
             return jnp.dot(
-                a.astype(mm_dt), b.astype(mm_dt),
+                a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
                 preferred_element_type=jnp.float32,
-                precision=prec,
             )
+
+        def split3(x):
+            """f32 -> three bf16 terms with exact sum (8+8+8 mantissa bits)."""
+            x = x.astype(jnp.float32)
+            hi = x.astype(jnp.bfloat16)
+            r = x - hi.astype(jnp.float32)
+            mid = r.astype(jnp.bfloat16)
+            lo = r - mid.astype(jnp.float32)
+            return hi, mid, lo
+
+        if mm_dt == jnp.float32:
+            def sel_cols(data_f32, onehot):
+                parts = split3(data_f32)
+                return sum(bf16_dot(p, onehot) for p in parts)
+
+            def sel_rows(onehot, data_f32):
+                parts = split3(data_f32)
+                return sum(bf16_dot(onehot, p) for p in parts)
+        else:
+            def sel_cols(data, onehot):
+                return bf16_dot(data, onehot)
+
+            def sel_rows(onehot, data):
+                return bf16_dot(onehot, data)
 
         # Selector variants: index k selects (lf + k - 1).
         st_k = {k: rshift(st0, k, 0) for k in range(4)}
         r_k = {k: rshift(r0, k, 1) for k in range(4)}
 
         # Column gather: cg[k][ch] = tile_ch selected at col lfx + k - 1.
-        cg = {k: [mm(tile3[ch].astype(jnp.float32), st_k[k]) for ch in range(3)]
+        cg = {k: [sel_cols(tile3[ch], st_k[k]) for ch in range(3)]
               for k in range(4)}
-        # g gather columns: g col index = texel - 1 = (lfx + qdx) - 1 ->
-        # selector k = qdx + 1 - 1 + ... g grid already offset by -1, so
+        # g gather columns: the g grid is offset by -1 from texels, so
         # selecting g col (lfx + qdx - 1) uses selector k = qdx.
-        cgg = {qdx: [mm(comp, st_k[qdx]) for comp in g_tex] for qdx in (0, 1)}
+        cgg = {qdx: [sel_cols(comp, st_k[qdx]) for comp in g_tex] for qdx in (0, 1)}
 
         taps = {}
         for name, (dx, dy) in easu_math.TAP_OFFSETS.items():
             planes = cg[dx + 1]
             taps[name] = jnp.stack(
-                [mm(r_k[dy + 1], p) for p in planes], axis=0
+                [sel_rows(r_k[dy + 1], p) for p in planes], axis=0
             )
         quad_off = {"s": (0, 0), "t": (0, 1), "u": (1, 0), "v": (1, 1)}
         quad_g = {
-            qk: tuple(mm(r_k[qdy], p) for p in cgg[qdx])
+            qk: tuple(sel_rows(r_k[qdy], p) for p in cgg[qdx])
             for qk, (qdy, qdx) in quad_off.items()
         }
 
