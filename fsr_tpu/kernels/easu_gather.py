@@ -99,13 +99,9 @@ def easu_gather(
     compute_dtype=jnp.float32,
 ) -> jnp.ndarray:
     """EASU upscale for arbitrary ratios.  image: (..., 3, Hin, Win)."""
-    if image.ndim > 3:
-        batch = image.shape[:-3]
-        flat = image.reshape((-1,) + image.shape[-3:])
-        fn = jax.vmap(
-            lambda im: easu_gather(im, out_size, con, compute_dtype=compute_dtype)
-        )
-        return fn(flat).reshape(batch + (3,) + tuple(out_size))
+    batch_dims = image.shape[:-3]
+    image = image.reshape((-1,) + image.shape[-3:])
+    nb = image.shape[0]
 
     dt = jnp.dtype(compute_dtype)
     hout, wout = out_size
@@ -123,7 +119,7 @@ def easu_gather(
 
     src = jnp.pad(
         image.astype(dt),
-        ((0, 0), (pad_top, pad_bottom), (pad_left, pad_right)),
+        ((0, 0), (0, 0), (pad_top, pad_bottom), (pad_left, pad_right)),
         mode="edge",
     )
 
@@ -148,12 +144,13 @@ def easu_gather(
     ox, oy = float(con.offset[0]), float(con.offset[1])
 
     def kernel(rs_ref, cs_ref, src_ref, r_ref, st_ref, out_ref, tile, sem):
-        ty = pl.program_id(0)
-        tx = pl.program_id(1)
+        bi = pl.program_id(0)
+        ty = pl.program_id(1)
+        tx = pl.program_id(2)
         rstart = pl.multiple_of(rs_ref[ty], 8)
         cstart = pl.multiple_of(cs_ref[tx], 128)
         dma = pltpu.make_async_copy(
-            src_ref.at[:, pl.ds(rstart, tih), pl.ds(cstart, tiw)],
+            src_ref.at[bi, :, pl.ds(rstart, tih), pl.ds(cstart, tiw)],
             tile, sem,
         )
         dma.start()
@@ -258,17 +255,19 @@ def easu_gather(
             taps, ppx, ppy, dtype=dt, dir_dtype=jnp.float32, fast=True,
             quad_g=quad_g,
         )
-        out_ref[:, :, :] = res.astype(dt)
+        out_ref[0, :, :, :] = res.astype(dt)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(ny, nx),
+        grid=(nb, ny, nx),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),  # src
-            pl.BlockSpec((1, tj, tih), lambda ty, tx, *_: (ty, 0, 0)),
-            pl.BlockSpec((1, tiw, ti), lambda ty, tx, *_: (tx, 0, 0)),
+            pl.BlockSpec((1, tj, tih), lambda bi, ty, tx, *_: (ty, 0, 0)),
+            pl.BlockSpec((1, tiw, ti), lambda bi, ty, tx, *_: (tx, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((3, tj, ti), lambda ty, tx, *_: (0, ty, tx)),
+        out_specs=pl.BlockSpec(
+            (1, 3, tj, ti), lambda bi, ty, tx, *_: (bi, 0, ty, tx)
+        ),
         scratch_shapes=[
             pltpu.VMEM((3, tih, tiw), dt),
             pltpu.SemaphoreType.DMA(()),
@@ -277,7 +276,7 @@ def easu_gather(
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((3, hout, wout), dt),
+        out_shape=jax.ShapeDtypeStruct((nb, 3, hout, wout), dt),
         interpret=INTERPRET,
     )(jnp.asarray(row_starts), jnp.asarray(col_starts), src, R, St)
-    return out
+    return out.reshape(batch_dims + (3, hout, wout))

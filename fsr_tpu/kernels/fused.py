@@ -195,17 +195,11 @@ def upscale_fused(
       runs far below HBM bandwidth.  Kept for phase-planar consumers (a
       video pipeline that wants planar frames can take outs pre-reshape).
     """
-    if image.ndim > 3:
-        batch = image.shape[:-3]
-        flat = image.reshape((-1,) + image.shape[-3:])
-        fn = jax.vmap(
-            lambda im: upscale_fused(
-                im, out_size, con, rcon,
-                apply_rcas=apply_rcas, denoise=denoise, compute_dtype=compute_dtype,
-                assemble=assemble,
-            )
-        )
-        return fn(flat).reshape(batch + (3,) + tuple(out_size))
+    # Batch handling: a native leading grid dimension (vmap cannot batch the
+    # manual-DMA input, and a grid dim pipelines frames without re-dispatch).
+    batch_dims = image.shape[:-3]
+    image = image.reshape((-1,) + image.shape[-3:])
+    nb = image.shape[0]
 
     dt = jnp.dtype(compute_dtype)
     hout, wout = out_size
@@ -237,7 +231,7 @@ def upscale_fused(
     src = image.astype(dt)
     src = jnp.pad(
         src,
-        ((0, 0), (pad_top, pad_bottom), (pad_left, pad_right)),
+        ((0, 0), (0, 0), (pad_top, pad_bottom), (pad_left, pad_right)),
         mode="edge",
     )
 
@@ -249,10 +243,11 @@ def upscale_fused(
         else:
             (out_ref,) = refs[:1]
         tile, sem = refs[-2], refs[-1]
-        ty = pl.program_id(0)
-        tx = pl.program_id(1)
+        bi = pl.program_id(0)
+        ty = pl.program_id(1)
+        tx = pl.program_id(2)
         dma = pltpu.make_async_copy(
-            src_ref.at[:, pl.ds(ty * tj, tih), pl.ds(tx * ti, tiw)], tile, sem
+            src_ref.at[bi, :, pl.ds(ty * tj, tih), pl.ds(tx * ti, tiw)], tile, sem
         )
         dma.start()
         dma.wait()
@@ -377,26 +372,27 @@ def upscale_fused(
                 else:
                     outs_b.append(e3)
                 if assemble == "xla":
-                    out_refs[a * qx + b][:, :, :] = outs_b[-1]
+                    out_refs[a * qx + b][0, :, :, :] = outs_b[-1]
             if assemble != "xla":
                 # --- Assemble x: riffle column phases along lanes.
                 out_rows.append(_riffle(outs_b, axis=2))  # (3, tj, qx*ti)
 
         if assemble != "xla":
             # --- Assemble y: riffle row phases along sublanes, single store.
-            out_ref[:, :, :] = _riffle(out_rows, axis=1)  # (3, qy*tj, qx*ti)
+            out_ref[0, :, :, :] = _riffle(out_rows, axis=1)  # (3, qy*tj, qx*ti)
 
     if assemble == "xla":
         phase_spec = pl.BlockSpec(
-            (3, tj, ti), lambda ty, tx: (0, ty, tx), memory_space=pltpu.VMEM
+            (1, 3, tj, ti), lambda bi, ty, tx: (bi, 0, ty, tx),
+            memory_space=pltpu.VMEM,
         )
         outs = pl.pallas_call(
             kernel,
-            grid=(ny, nx),
+            grid=(nb, ny, nx),
             in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
             out_specs=tuple(phase_spec for _ in range(qy * qx)),
             out_shape=tuple(
-                jax.ShapeDtypeStruct((3, hpl, wpl), dt) for _ in range(qy * qx)
+                jax.ShapeDtypeStruct((nb, 3, hpl, wpl), dt) for _ in range(qy * qx)
             ),
             scratch_shapes=[
                 pltpu.VMEM((3, tih, tiw), dt),
@@ -404,25 +400,25 @@ def upscale_fused(
             ],
             interpret=INTERPRET,
         )(src)
-        # Interleave phases in one fused transpose+reshape pass:
-        # (qy, qx, 3, hpl, wpl) -> (3, hpl, qy, wpl, qx) -> (3, hout, wout).
-        stackd = jnp.stack(outs).reshape(qy, qx, 3, hpl, wpl)
-        return (
-            stackd.transpose(2, 3, 0, 4, 1).reshape(3, hout, wout)
-        )
+        # Interleave phases in one fused transpose+reshape pass.
+        stackd = jnp.stack(outs).reshape(qy, qx, nb, 3, hpl, wpl)
+        out = stackd.transpose(2, 3, 4, 0, 5, 1).reshape(nb, 3, hout, wout)
+        return out.reshape(batch_dims + (3, hout, wout))
 
     out = pl.pallas_call(
         kernel,
-        grid=(ny, nx),
+        grid=(nb, ny, nx),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=pl.BlockSpec(
-            (3, qy * tj, qx * ti), lambda ty, tx: (0, ty, tx), memory_space=pltpu.VMEM
+            (1, 3, qy * tj, qx * ti),
+            lambda bi, ty, tx: (bi, 0, ty, tx),
+            memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((3, hout, wout), dt),
+        out_shape=jax.ShapeDtypeStruct((nb, 3, hout, wout), dt),
         scratch_shapes=[
             pltpu.VMEM((3, tih, tiw), dt),
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=INTERPRET,
     )(src)
-    return out
+    return out.reshape(batch_dims + (3, hout, wout))

@@ -46,13 +46,9 @@ def rcas_fused(
     compute_dtype=None,
 ) -> jnp.ndarray:
     """RCAS sharpen on TPU.  image: (..., 3, H, W) in [0, 1]."""
-    if image.ndim > 3:
-        batch = image.shape[:-3]
-        flat = image.reshape((-1,) + image.shape[-3:])
-        fn = jax.vmap(
-            lambda im: rcas_fused(im, rcon, denoise=denoise, compute_dtype=compute_dtype)
-        )
-        return fn(flat).reshape(batch + image.shape[-3:])
+    batch_dims = image.shape[:-3]
+    image = image.reshape((-1,) + image.shape[-3:])
+    nb = image.shape[0]
 
     dt = jnp.dtype(compute_dtype) if compute_dtype is not None else image.dtype
     if dt == jnp.float16:
@@ -69,16 +65,17 @@ def rcas_fused(
     pad_right = max(0, (nx - 1) * tw + tiw - (w + pad_left))
     src = jnp.pad(
         image.astype(dt),
-        ((0, 0), (pad_top, pad_bottom), (pad_left, pad_right)),
+        ((0, 0), (0, 0), (pad_top, pad_bottom), (pad_left, pad_right)),
         mode="edge",
     )
     sharp = float(rcon.sharpness)
 
     def kernel(src_ref, out_ref, tile, sem):
-        ty = pl.program_id(0)
-        tx = pl.program_id(1)
+        bi = pl.program_id(0)
+        ty = pl.program_id(1)
+        tx = pl.program_id(2)
         dma = pltpu.make_async_copy(
-            src_ref.at[:, pl.ds(ty * th, tih), pl.ds(tx * tw, tiw)], tile, sem
+            src_ref.at[bi, :, pl.ds(ty * th, tih), pl.ds(tx * tw, tiw)], tile, sem
         )
         dma.start()
         dma.wait()
@@ -110,20 +107,21 @@ def rcas_fused(
         f = jnp.where(gcol == w - 1, e, f)
 
         res = easu_math.rcas_resolve(b, d, e, f, hh, sharp, denoise=denoise, fast=True)
-        out_ref[:, :, :] = res[:, :th, :tw].astype(dt)
+        out_ref[0, :, :, :] = res[:, :th, :tw].astype(dt)
 
     out = pl.pallas_call(
         kernel,
-        grid=(ny, nx),
+        grid=(nb, ny, nx),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=pl.BlockSpec(
-            (3, th, tw), lambda ty, tx: (0, ty, tx), memory_space=pltpu.VMEM
+            (1, 3, th, tw), lambda bi, ty, tx: (bi, 0, ty, tx),
+            memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((3, h, w), dt),
+        out_shape=jax.ShapeDtypeStruct((nb, 3, h, w), dt),
         scratch_shapes=[
             pltpu.VMEM((3, tih, tiw), dt),
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=INTERPRET,
     )(src)
-    return out
+    return out.reshape(batch_dims + (3, h, w))
