@@ -106,10 +106,20 @@ def upscale(
     if use_pallas:
         from fsr_tpu.kernels import dispatch as kdispatch
 
+        alpha = None
+        rgb = image
+        if image.shape[-3] == 4:
+            # Kernels are RGB; alpha rides along bilinearly (EASU defines no
+            # alpha semantics — the reference's passthrough applies to RCAS,
+            # which we honor by not sharpening alpha either).
+            alpha = easu_ops.bilinear(image[..., 3:4, :, :], out_hw, con)
+            rgb = image[..., :3, :, :]
         out = kdispatch.upscale_fused(
-            image, out_hw, con, rcon,
+            rgb, out_hw, con, rcon,
             apply_rcas=apply_rcas, denoise=denoise, compute_dtype=compute_dtype,
         )
+        if alpha is not None:
+            out = jnp.concatenate([out, alpha.astype(out.dtype)], axis=-3)
     else:
         out = easu_ops.easu(image, out_hw, con, compute_dtype=compute_dtype)
         if apply_rcas:

@@ -27,8 +27,12 @@ def supported(image, out_size, con: EasuConstants, compute_dtype) -> bool:
 
     if not _on_tpu():
         return False
-    return fused.supported(image.shape, out_size, con, compute_dtype) or (
-        easu_gather.supported(image.shape, out_size, con, compute_dtype)
+    shape = image.shape
+    if shape[-3] == 4:
+        # api splits off alpha (bilinear) and runs the kernels on RGB.
+        shape = shape[:-3] + (3,) + shape[-2:]
+    return fused.supported(shape, out_size, con, compute_dtype) or (
+        easu_gather.supported(shape, out_size, con, compute_dtype)
     )
 
 

@@ -1,0 +1,100 @@
+"""Hardware verification sweep: every execution path vs the frozen oracle.
+
+Run on a machine with a TPU attached (unit tests force CPU; this exercises
+the real compiled kernels).  Exit code 0 iff every check passes.
+
+    python tools/verify_on_tpu.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+BUDGET = 1.0 / 255.0
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    import fsr_tpu
+    from fsr_tpu.core.constants import EasuConstants, RcasConstants
+    from fsr_tpu.kernels import dispatch, easu_gather, fused, rcas_pallas
+    from fsr_tpu.reference import scalar as ref
+
+    dev = jax.devices()[0]
+    print(f"device: {dev}")
+    rng = np.random.default_rng(0)
+    failures = []
+
+    def check(name, got, want, tol):
+        d = float(np.max(np.abs(np.asarray(got, np.float32) - want)))
+        ok = d <= tol
+        print(f"  {'PASS' if ok else 'FAIL'} {name}: max|Δ|={d:.3g} (tol {tol:g})")
+        if not ok:
+            failures.append(name)
+
+    def oracle(img, out_hw, con, rcon=None, denoise=False):
+        out = ref.easu_ref(img, out_hw, con)
+        if rcon is not None:
+            out = ref.rcas_ref(out, rcon, denoise=denoise)
+        return out
+
+    rcon = RcasConstants(0.25)
+
+    # 1. Fused 2x kernel, f32 + bf16, single + batched
+    print("fused phase kernel (2x):")
+    in_hw, out_hw = (270, 480), (540, 960)
+    con = EasuConstants.create((480, 270), None, (960, 540))
+    img = rng.uniform(0, 1, (3, *in_hw)).astype(np.float32)
+    want = oracle(img, out_hw, con, rcon)
+    got = fused.upscale_fused(jnp.asarray(img), out_hw, con, rcon)
+    check("f32", got, want, 2e-5)
+    got = fused.upscale_fused(
+        jnp.asarray(img), out_hw, con, rcon, compute_dtype=jnp.bfloat16
+    ).astype(jnp.float32)
+    d = np.abs(np.asarray(got) - want)
+    print(f"  INFO bf16: median={np.median(d):.3g} p99={np.percentile(d, 99):.3g}")
+    if np.median(d) > BUDGET:
+        failures.append("fused bf16 median")
+    imgs = rng.uniform(0, 1, (2, 3, *in_hw)).astype(np.float32)
+    gotb = np.asarray(fused.upscale_fused(jnp.asarray(imgs), out_hw, con, rcon))
+    check("batched", gotb[1], oracle(imgs[1], out_hw, con, rcon), 2e-5)
+
+    # 2. General-ratio gather kernel (1.5x) + RCAS kernel
+    print("gather kernel (1.5x) + rcas kernel:")
+    in_hw, out_hw = (144, 256), (216, 384)
+    con = EasuConstants.create((256, 144), None, (384, 216))
+    img = rng.uniform(0, 1, (3, *in_hw)).astype(np.float32)
+    easu_want = ref.easu_ref(img, out_hw, con)
+    got = easu_gather.easu_gather(jnp.asarray(img), out_hw, con)
+    check("easu_gather f32", got, easu_want, 2e-5)
+    got2 = rcas_pallas.rcas_fused(got, rcon)
+    check("rcas_fused f32", got2, ref.rcas_ref(easu_want, rcon), 4e-5)
+
+    # 3. Public API auto-dispatch, incl. RGBA and presets
+    print("api auto-dispatch:")
+    out = fsr_tpu.upscale(jnp.asarray(img), preset="quality", impl="pallas")
+    check("preset quality", out, ref.rcas_ref(easu_want, rcon), 4e-5)
+    rgba = rng.uniform(0, 1, (4, 128, 256)).astype(np.float32)
+    out = fsr_tpu.upscale(jnp.asarray(rgba), scale=2.0, impl="pallas")
+    con4 = EasuConstants.create((256, 128), None, (512, 256))
+    want_rgb = ref.rcas_ref(ref.easu_ref(rgba[:3], (256, 512), con4), rcon)
+    check("rgba rgb part", np.asarray(out)[:3], want_rgb, 2e-5)
+    want_a = ref.bilinear_ref(rgba[3:4].repeat(3, 0), (256, 512), con4)[0]
+    check("rgba alpha (bilinear)", np.asarray(out)[3], want_a, 1e-5)
+
+    # 4. dispatch gating sanity
+    assert dispatch.supported(jnp.zeros((4, 128, 256)), (256, 512), con4, jnp.float32)
+
+    print("FAILURES:" if failures else "ALL PASS", failures or "")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
