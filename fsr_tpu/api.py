@@ -13,7 +13,6 @@ and transposed (`layout="HWC"`).
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Tuple
 
 import jax

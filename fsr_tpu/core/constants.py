@@ -14,7 +14,6 @@ bit-packed layout for parity testing against the A_CPU path.
 from __future__ import annotations
 
 import dataclasses
-import math
 from typing import Tuple
 
 import numpy as np

@@ -18,7 +18,7 @@ Dtype policy:
 
 from __future__ import annotations
 
-from typing import Dict, NamedTuple, Sequence, Tuple
+from typing import Dict, Sequence, Tuple
 
 import jax.numpy as jnp
 from jax import lax

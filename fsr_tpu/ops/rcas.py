@@ -13,7 +13,6 @@ sample's behavior for A/B parity.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,7 @@ visual A/B comparison of upscale modes.
 
 from __future__ import annotations
 
-from typing import Tuple, Union
+from typing import Tuple
 
 import numpy as np
 
