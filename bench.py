@@ -172,6 +172,21 @@ def main():
     # Config 5 (v5e-8 sharded preprocessing) needs a multi-chip slice; it is
     # exercised by examples/dataset_preprocessing.py and dryrun_multichip.
 
+    # On-device fidelity: fused kernel vs the frozen oracle at 540p->1080p.
+    fidelity = None
+    try:
+        from fsr_tpu.reference import scalar as oracle
+
+        con1b = EasuConstants.create((960, 540), None, (1920, 1080))
+        img = np.random.default_rng(5).uniform(0, 1, (3, 540, 960)).astype(np.float32)
+        got = np.asarray(
+            fused.upscale_fused(jnp.asarray(img), (1080, 1920), con1b, rcon)
+        )
+        want = oracle.rcas_ref(oracle.easu_ref(img, (1080, 1920), con1b), rcon)
+        fidelity = float(np.max(np.abs(got - want)))
+    except Exception as e:  # pragma: no cover
+        print(f"bench fidelity failed: {e}", file=sys.stderr)
+
     if not results:
         print(json.dumps({"metric": "easu_rcas_1080p_to_4k", "value": 0.0,
                           "unit": "Mpix/s", "vs_baseline": 0.0,
@@ -191,6 +206,7 @@ def main():
         "device": str(dev),
         "all_ms": {k: round(v * 1e3, 3) for k, v in results.items()},
         "preset_ms_bf16": presets,
+        "max_abs_dev_vs_oracle_f32": fidelity,
         **extras,
     }
     print(json.dumps(line))

@@ -53,6 +53,19 @@ def test_fused_matches_xla_2x(rng, in_hw, out_hw):
     np.testing.assert_allclose(got, want, atol=6e-5, rtol=0)
 
 
+def test_fused_4x(rng):
+    # qx = qy = 4 (exact binary scale): 4-way riffle assembly.
+    in_hw, out_hw = (32, 80), (128, 320)
+    img = rng.uniform(0, 1, (3, *in_hw)).astype(np.float32)
+    con = _con(in_hw, out_hw)
+    st = fused._phase_structure(con, out_hw)
+    assert st is not None and (st[0], st[1]) == (4, 4)
+    rcon = RcasConstants(0.25)
+    got = np.asarray(fused.upscale_fused(jnp.asarray(img), out_hw, con, rcon))
+    want = _xla(img, out_hw, con, rcon)
+    np.testing.assert_allclose(got, want, atol=6e-5, rtol=0)
+
+
 def test_fused_easu_only(rng):
     in_hw, out_hw = (48, 144), (96, 288)
     img = rng.uniform(0, 1, (3, *in_hw)).astype(np.float32)

@@ -42,7 +42,7 @@ def test_batch_sharding_layout(mesh8):
     assert placed.sharding.spec == P("batch", None, None, None)
 
 
-@pytest.mark.parametrize("n_sp", [2, 4])
+@pytest.mark.parametrize("n_sp", [2, 4, 8])
 def test_spatial_sharded_matches_single(rng, n_sp):
     mesh = sharding.make_mesh(n_sp, ("sp",))
     in_hw, out_hw = (64, 96), (128, 192)
