@@ -17,10 +17,11 @@ of the VMEM-resident input tile — no gathers, pure VPU elementwise math
 
 RCAS also runs in phase-planar space: its 5-tap cross maps to slices of the
 neighboring phase planes, so no interleaving happens before sharpening.  The
-final assembly interleaves rows by strided sublane stores into the output
-block and columns by a logarithmic butterfly riffle (roll+select stages) —
-Mosaic has no lane-interleave shape cast, so the riffle is the vector-unit
-way to zip phases along lanes.
+final assembly interleaves both axes with a logarithmic butterfly riffle
+(roll+select stages) — Mosaic has no interleaving shape cast, and its
+strided stores are restricted to 128-wide memrefs, so the riffle is the
+vector-unit way to zip phases.  Batches of frames are a leading grid
+dimension.
 
 Scope (v1): per-axis phase counts with unit source stride (p == 1): qy, qx in
 {1,2,4} — integer upscale factors per dim, incl. the benchmark
