@@ -251,9 +251,11 @@ def easu_gather(
         ppy = ppy_full - jnp.floor(ppy_full)
         ppx = ppx_full - jnp.floor(ppx_full)
 
+        # Math is f32 in-kernel (taps arrive f32 from the f32-accumulating
+        # dots); compute_dtype controls storage only.
         res = easu_math.easu_resolve(
-            taps, ppx, ppy, dtype=dt, dir_dtype=jnp.float32, fast=True,
-            quad_g=quad_g,
+            taps, ppx, ppy, dtype=jnp.float32, dir_dtype=jnp.float32,
+            fast=True, quad_g=quad_g,
         )
         out_ref[0, :, :, :] = res.astype(dt)
 

@@ -316,11 +316,16 @@ def upscale_fused(
                 }
                 ppx = jnp.full((1, 1), px_phase[b], jnp.float32)
                 ppy = jnp.full((1, 1), py_phase[a], jnp.float32)
+                # Math is always f32 in-kernel: the VPU runs 16-bit
+                # elementwise ops at f32 rate, so low-precision compute
+                # only adds converts; compute_dtype controls storage
+                # (tile DMA + output write) where the bandwidth is.
+                taps = {k: v.astype(jnp.float32) for k, v in taps.items()}
                 res = easu_math.easu_resolve(
-                    taps, ppx, ppy, dtype=dt, dir_dtype=jnp.float32, fast=True,
-                    quad_g=quad_g,
+                    taps, ppx, ppy, dtype=jnp.float32, dir_dtype=jnp.float32,
+                    fast=True, quad_g=quad_g,
                 )
-                row.append(res)  # (3, tih, tiw), valid on [0:ph, 0:pw]
+                row.append(res)  # (3, tih, tiw) f32, valid on [0:ph, 0:pw]
             planes.append(row)
 
         # --- RCAS in phase-planar space: the 5-tap cross maps to slices of
@@ -360,27 +365,27 @@ def upscale_fused(
                     grow = jrow * qy + a
                     gcol = icol * qx + b
 
-                    e_t = e3.astype(jnp.float32)
-                    bt = jnp.where(grow == 0, e_t, bt.astype(jnp.float32))
-                    ht = jnp.where(grow == hout - 1, e_t, ht.astype(jnp.float32))
-                    dtp = jnp.where(gcol == 0, e_t, dtp.astype(jnp.float32))
-                    ftp = jnp.where(gcol == wout - 1, e_t, ftp.astype(jnp.float32))
+                    e_t = e3
+                    bt = jnp.where(grow == 0, e_t, bt)
+                    ht = jnp.where(grow == hout - 1, e_t, ht)
+                    dtp = jnp.where(gcol == 0, e_t, dtp)
+                    ftp = jnp.where(gcol == wout - 1, e_t, ftp)
                     res = easu_math.rcas_resolve(
                         bt, dtp, e_t, ftp, ht, float(rcon.sharpness),
                         denoise=denoise, fast=True
                     )
-                    outs_b.append(res.astype(dt))
+                    outs_b.append(res)
                 else:
                     outs_b.append(e3)
                 if assemble == "xla":
-                    out_refs[a * qx + b][0, :, :, :] = outs_b[-1]
+                    out_refs[a * qx + b][0, :, :, :] = outs_b[-1].astype(dt)
             if assemble != "xla":
                 # --- Assemble x: riffle column phases along lanes.
                 out_rows.append(_riffle(outs_b, axis=2))  # (3, tj, qx*ti)
 
         if assemble != "xla":
             # --- Assemble y: riffle row phases along sublanes, single store.
-            out_ref[0, :, :, :] = _riffle(out_rows, axis=1)  # (3, qy*tj, qx*ti)
+            out_ref[0, :, :, :] = _riffle(out_rows, axis=1).astype(dt)
 
     if assemble == "xla":
         phase_spec = pl.BlockSpec(
