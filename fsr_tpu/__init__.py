@@ -5,7 +5,7 @@ EASU + RCAS as fused Pallas stencil kernels, SRTM/LFGA/TEPD epilogues,
 quality presets, and mesh-sharded batch/spatial execution.
 """
 
-from fsr_tpu.api import upscale, UpscalePipeline
+from fsr_tpu.api import upscale, sharpen, UpscalePipeline
 from fsr_tpu.core.constants import EasuConstants, RcasConstants, FSR_RCAS_LIMIT
 from fsr_tpu.core.presets import PRESETS, Preset, render_resolution, recommended_mip_bias
 
@@ -13,6 +13,7 @@ __version__ = "0.1.0"
 
 __all__ = [
     "upscale",
+    "sharpen",
     "UpscalePipeline",
     "EasuConstants",
     "RcasConstants",

@@ -24,7 +24,7 @@ from fsr_tpu.ops import easu as easu_ops
 from fsr_tpu.ops import rcas as rcas_ops
 from fsr_tpu.ops import extras
 
-__all__ = ["upscale", "UpscalePipeline"]
+__all__ = ["upscale", "sharpen", "UpscalePipeline"]
 
 
 def _resolve_out_size(
@@ -124,6 +124,49 @@ def upscale(
         if apply_rcas:
             out = rcas_ops.rcas(out, rcon, denoise=denoise, compute_dtype=compute_dtype)
 
+    if layout == "HWC":
+        out = jnp.moveaxis(out, -3, -1)
+    return out
+
+
+def sharpen(
+    image: jnp.ndarray,
+    sharpness: float = 0.25,
+    denoise: bool = False,
+    compute_dtype=None,
+    impl: str = "auto",
+    layout: str = "CHW",
+) -> jnp.ndarray:
+    """Standalone RCAS sharpening (no scaling) — the reference supports RCAS
+    as an independent pass (ffx_fsr1.h:602-608).
+
+    image: (..., 3, H, W) or (..., 3+alpha, H, W); values in [0, 1].
+    """
+    if layout == "HWC":
+        image = jnp.moveaxis(image, -1, -3)
+    elif layout != "CHW":
+        raise ValueError(f"unknown layout {layout!r}")
+    rcon = RcasConstants(sharpness_stops=float(sharpness))
+
+    use_kernel = False
+    if impl in ("auto", "pallas") and image.shape[-3] == 3:
+        import jax
+
+        try:
+            use_kernel = jax.devices()[0].platform == "tpu"
+        except RuntimeError:
+            use_kernel = False
+    if impl == "pallas" and not use_kernel:
+        raise ValueError("pallas RCAS needs a TPU and a 3-channel image")
+
+    if use_kernel:
+        from fsr_tpu.kernels import rcas_pallas
+
+        out = rcas_pallas.rcas_fused(
+            image, rcon, denoise=denoise, compute_dtype=compute_dtype
+        )
+    else:
+        out = rcas_ops.rcas(image, rcon, denoise=denoise, compute_dtype=compute_dtype)
     if layout == "HWC":
         out = jnp.moveaxis(out, -3, -1)
     return out

@@ -105,3 +105,14 @@ def test_preset_table_values():
     assert render_resolution((2160, 3840), 1.5) == (1440, 2560)
     assert render_resolution((2160, 3840), 1.3) == (1661, 2953)  # trunc, like the sample
     assert abs(recommended_mip_bias(2.0) + 1.0) < 1e-9
+
+
+def test_sharpen_standalone(rng):
+    img = _img(rng, 24, 36)
+    out = np.asarray(fsr_tpu.sharpen(jnp.asarray(img), sharpness=0.5))
+    want = np.asarray(rcas_ops.rcas(jnp.asarray(img), RcasConstants(0.5)))
+    np.testing.assert_array_equal(out, want)
+    hwc = np.asarray(
+        fsr_tpu.sharpen(jnp.asarray(np.moveaxis(img, 0, -1)), sharpness=0.5, layout="HWC")
+    )
+    np.testing.assert_array_equal(np.moveaxis(hwc, -1, 0), out)
