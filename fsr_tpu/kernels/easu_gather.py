@@ -50,7 +50,7 @@ def supported(in_shape, out_size, con: EasuConstants, compute_dtype) -> bool:
         return False
     hout, wout = out_size
     hin, win = in_shape[-2:]
-    if hout < 16 or wout < 256:
+    if hout < 16 or wout < 128:
         return False
     # EASU contract: 1x to 4x area scaling (ffx_fsr1.h:40); the tile-window
     # math below also assumes no downscale.

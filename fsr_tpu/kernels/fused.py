@@ -98,24 +98,48 @@ def supported(in_shape, out_size, con: EasuConstants, compute_dtype) -> bool:
         # on the XLA path (which computes through f32 with f16 rounding).
         return False
     hout, wout = out_size
-    if hout < 16 or wout < 256:
-        return False  # too small to tile profitably; XLA path is fine
-    return _phase_structure(con, out_size) is not None
+    if hout < 8 or wout < 64:
+        return False  # too small to tile; XLA path is fine at this size
+    st = _phase_structure(con, out_size)
+    if st is None:
+        return False
+    qy, qx = st[0], st[1]
+    return _pick_tiles(hout // qy, wout // qx, qy, qx) is not None
 
 
-def _pick_tiles(hpl: int, wpl: int):
-    """Plane-space tile sizes (TJ rows, TI cols per phase).
+def _pick_tiles(hpl: int, wpl: int, qy: int, qx: int):
+    """Plane-space tile sizes (TJ rows, TI cols per phase), or None.
 
-    Chosen from on-device sweeps (v5e): large enough to amortize per-tile
-    overhead, small enough that the full-tile-shaped EASU live set fits
-    VMEM.
+    Tile extents must be powers of two (butterfly riffle), and the output
+    block (qy*tj, qx*ti) must satisfy Pallas's block rule: last dim
+    divisible by 128 (or equal to the full width), second-to-last divisible
+    by 8 (or equal to the full height).  Sizes tuned on-device (v5e):
+    large enough to amortize per-tile overhead, small enough that the
+    full-tile-shaped EASU live set fits VMEM.
     """
-    ti = 512  # must be a power of two (butterfly riffle)
-    while ti > wpl and ti > 8:
+
+    def pow2(v):
+        return v > 0 and (v & (v - 1)) == 0
+
+    ti = 512
+    while ti > wpl and ti > 1:
         ti //= 2
     tj = 32
     while tj > hpl and tj > 1:
         tj //= 2
+    if not (pow2(ti) and pow2(tj)):
+        return None
+    wout, hout = qx * wpl, qy * hpl
+    if (qx * ti) % 128 and qx * ti != wout:
+        return None
+    if (qy * tj) % 8 and qy * tj != hout:
+        return None
+    # Input DMA offsets (ty*tj, tx*ti) must be provably (8, 128)-aligned
+    # unless there is only one tile along that axis.
+    if ti % 128 and wpl > ti:
+        return None
+    if tj % 8 and hpl > tj:
+        return None
     return tj, ti
 
 
@@ -211,7 +235,10 @@ def upscale_fused(
     qy, qx, ry, rx, py_phase, px_phase = st
 
     hpl, wpl = hout // qy, wout // qx  # phase-plane extent
-    tj, ti = _pick_tiles(hpl, wpl)
+    tiles = _pick_tiles(hpl, wpl, qy, qx)
+    if tiles is None:
+        raise ValueError("no valid tile plan for this size (use impl='xla')")
+    tj, ti = tiles
     ny, nx = pl.cdiv(hpl, tj), pl.cdiv(wpl, ti)
 
     # Input halo: plane rows jj in [-1, tj+1) (RCAS halo), each needing source
@@ -247,8 +274,16 @@ def upscale_fused(
         bi = pl.program_id(0)
         ty = pl.program_id(1)
         tx = pl.program_id(2)
+        if ny == 1:
+            row0 = 0
+        else:
+            row0 = pl.multiple_of(ty * tj, 8)
+        if nx == 1:
+            col0 = 0
+        else:
+            col0 = pl.multiple_of(tx * ti, 128)
         dma = pltpu.make_async_copy(
-            src_ref.at[bi, :, pl.ds(ty * tj, tih), pl.ds(tx * ti, tiw)], tile, sem
+            src_ref.at[bi, :, pl.ds(row0, tih), pl.ds(col0, tiw)], tile, sem
         )
         dma.start()
         dma.wait()
