@@ -55,11 +55,12 @@ def test_fused_matches_xla_2x(rng, in_hw, out_hw):
 
 def test_fused_4x(rng):
     # qx = qy = 4 (exact binary scale): 4-way riffle assembly.
-    in_hw, out_hw = (32, 80), (128, 320)
+    in_hw, out_hw = (32, 64), (128, 256)
     img = rng.uniform(0, 1, (3, *in_hw)).astype(np.float32)
     con = _con(in_hw, out_hw)
     st = fused._phase_structure(con, out_hw)
     assert st is not None and (st[0], st[1]) == (4, 4)
+    assert fused.supported((3, *in_hw), out_hw, con, jnp.float32)
     rcon = RcasConstants(0.25)
     got = np.asarray(fused.upscale_fused(jnp.asarray(img), out_hw, con, rcon))
     want = _xla(img, out_hw, con, rcon)
