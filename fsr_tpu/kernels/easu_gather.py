@@ -16,9 +16,11 @@ row) selects source rows fy(j)+dy; the dy/dx variants are rolls of one base
 one-hot matrix.  One-hot selection through the MXU is exact (each output
 element is one product by 1.0).
 
-Subpixel fractions are recomputed in-kernel from iota with the same f32
-arithmetic as the ground-truth coordinate vectors (bit-identical), so the
-kernel needs no per-pixel coordinate inputs.
+Subpixel fractions are passed in as per-axis arrays: they must match the
+ground-truth host coordinates bit-for-bit, and recomputing them in-kernel
+is unsafe — Mosaic contracts x*sx+ox into an FMA (excess precision), which
+flips floor() at exact-integer positions and de-synchronizes the fraction
+from the gathered taps.
 
 This covers any EASU ratio (1x..4x area) including Dynamic Resolution
 Scaling offsets.  RCAS runs as the standalone kernel afterwards
@@ -106,7 +108,7 @@ def easu_gather(
     dt = jnp.dtype(compute_dtype)
     hout, wout = out_size
     hin, win = image.shape[-2:]
-    fx, fy, _px, _py = easu_coords(con, out_size)
+    fx, fy, px, py = easu_coords(con, out_size)
     tj, ti = _pick_tiles(hout, wout)
     ny, nx = pl.cdiv(hout, tj), pl.cdiv(wout, ti)
 
@@ -140,10 +142,17 @@ def easu_gather(
     R = jnp.asarray(R, jnp.bfloat16)
     St = jnp.asarray(St, jnp.bfloat16)
 
-    sx, sy = float(con.scale[0]), float(con.scale[1])
-    ox, oy = float(con.offset[0]), float(con.offset[1])
+    # Host-exact subpixel fractions, padded to the tile grid and shaped for
+    # aligned (8, 128) blocks.
+    ppx_arr = np.zeros((8, nx * ti), np.float32)
+    ppx_arr[:, :wout] = px[None, :]
+    ppy_arr = np.zeros((ny * tj, 128), np.float32)
+    ppy_arr[:hout, :] = py[:, None]
+    ppx_arr = jnp.asarray(ppx_arr)
+    ppy_arr = jnp.asarray(ppy_arr)
 
-    def kernel(rs_ref, cs_ref, src_ref, r_ref, st_ref, out_ref, tile, sem):
+    def kernel(rs_ref, cs_ref, src_ref, r_ref, st_ref, ppx_ref, ppy_ref,
+               out_ref, tile, sem):
         bi = pl.program_id(0)
         ty = pl.program_id(1)
         tx = pl.program_id(2)
@@ -243,13 +252,8 @@ def easu_gather(
             for qk, (qdy, qdx) in quad_off.items()
         }
 
-        # Subpixel fractions, recomputed with the exact f32 host arithmetic.
-        ycoord = (ty * tj + jax.lax.broadcasted_iota(jnp.int32, (tj, 1), 0)).astype(jnp.float32)
-        xcoord = (tx * ti + jax.lax.broadcasted_iota(jnp.int32, (1, ti), 1)).astype(jnp.float32)
-        ppy_full = ycoord * jnp.float32(sy) + jnp.float32(oy)
-        ppx_full = xcoord * jnp.float32(sx) + jnp.float32(ox)
-        ppy = ppy_full - jnp.floor(ppy_full)
-        ppx = ppx_full - jnp.floor(ppx_full)
+        ppx = ppx_ref[0:1, :]   # (1, ti)
+        ppy = ppy_ref[:, 0:1]   # (tj, 1)
 
         # Math is f32 in-kernel (taps arrive f32 from the f32-accumulating
         # dots); compute_dtype controls storage only.
@@ -266,6 +270,8 @@ def easu_gather(
             pl.BlockSpec(memory_space=pltpu.ANY),  # src
             pl.BlockSpec((1, tj, tih), lambda bi, ty, tx, *_: (ty, 0, 0)),
             pl.BlockSpec((1, tiw, ti), lambda bi, ty, tx, *_: (tx, 0, 0)),
+            pl.BlockSpec((8, ti), lambda bi, ty, tx, *_: (0, tx)),
+            pl.BlockSpec((tj, 128), lambda bi, ty, tx, *_: (ty, 0)),
         ],
         out_specs=pl.BlockSpec(
             (1, 3, tj, ti), lambda bi, ty, tx, *_: (bi, 0, ty, tx)
@@ -280,5 +286,5 @@ def easu_gather(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nb, 3, hout, wout), dt),
         interpret=INTERPRET,
-    )(jnp.asarray(row_starts), jnp.asarray(col_starts), src, R, St)
+    )(jnp.asarray(row_starts), jnp.asarray(col_starts), src, R, St, ppx_arr, ppy_arr)
     return out.reshape(batch_dims + (3, hout, wout))
