@@ -77,8 +77,20 @@ def main() -> int:
     got2 = rcas_pallas.rcas_fused(got, rcon)
     check("rcas_fused f32", got2, ref.rcas_ref(easu_want, rcon), 4e-5)
 
+    # 2b. Regression: integer-fraction columns (the FMA/floor desync size).
+    print("gather kernel (irregular 1.266x with frac==0 columns):")
+    in_hw, out_hw = (58, 165), (73, 209)
+    con = EasuConstants.create((165, 58), None, (209, 73))
+    img = rng.uniform(0, 1, (3, *in_hw)).astype(np.float32)
+    got = easu_gather.easu_gather(jnp.asarray(img), out_hw, con)
+    check("frac==0 columns", got, ref.easu_ref(img, out_hw, con), 2e-5)
+
     # 3. Public API auto-dispatch, incl. RGBA and presets
     print("api auto-dispatch:")
+    in_hw, out_hw = (144, 256), (216, 384)
+    img = rng.uniform(0, 1, (3, *in_hw)).astype(np.float32)
+    con = EasuConstants.create((256, 144), None, (384, 216))
+    easu_want = ref.easu_ref(img, out_hw, con)
     out = fsr_tpu.upscale(jnp.asarray(img), preset="quality", impl="pallas")
     check("preset quality", out, ref.rcas_ref(easu_want, rcon), 4e-5)
     rgba = rng.uniform(0, 1, (4, 128, 256)).astype(np.float32)
