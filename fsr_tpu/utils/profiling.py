@@ -43,12 +43,29 @@ def op_times(
     out: Dict[str, float] = {}
     for path in glob.glob(d + "/**/*.trace.json.gz", recursive=True):
         data = json.load(gzip.open(path))
-        for e in data.get("traceEvents", []):
-            if e.get("ph") == "X" and "dur" in e:
+        events = data.get("traceEvents", [])
+        # Device time appears on several tracks at once ("XLA Modules" =
+        # whole-module rows, "XLA Ops" = per-op rows, plus host python
+        # frames); summing everything double-counts.  Aggregate only the
+        # per-op device track(s) when present.
+        op_tracks = {
+            (e["pid"], e.get("tid"))
+            for e in events
+            if e.get("ph") == "M"
+            and e.get("name") == "thread_name"
+            and e.get("args", {}).get("name") == "XLA Ops"
+        }
+        for e in events:
+            if e.get("ph") != "X" or "dur" not in e:
+                continue
+            if op_tracks:
+                if (e.get("pid"), e.get("tid")) not in op_tracks:
+                    continue
+            else:  # fallback (e.g. CPU-only traces): old name heuristic
                 name = e.get("name", "?")
                 if name.startswith("$") or "/" in name[:2]:
                     continue  # host-side python frames
-                out[name] = out.get(name, 0.0) + e["dur"]
+            out[e.get("name", "?")] = out.get(e.get("name", "?"), 0.0) + e["dur"]
     if trace_dir is None:
         shutil.rmtree(d, ignore_errors=True)
     return {
