@@ -10,67 +10,20 @@ the RX 6800 XT-class <=0.40 ms full-FSR-pass budget at 4K, i.e.
 
 Timing notes: the axon tunnel dispatch path has tens of ms of HTTP
 round-trip jitter, memoizes repeated identical dispatches, and the chip is
-time-shared (throughput drifts several-x across minutes), so wall-clock
-timing of dispatches is meaningless.  We measure *device op time* from the
-JAX profiler trace (utils.profiling.op_times): the sum of on-device op
-durations per call, which is self-consistent within a run.  A dependency-
-chain wall-clock measurement (measure_chain) is kept as a fallback.
+time-shared, so wall-clock timing of dispatches is meaningless.  We measure
+*device op time* from the JAX profiler trace (utils.profiling.op_times):
+the sum of on-device "XLA Ops"-track durations per call, which is
+reproducible across runs for a given executable.
 """
 
 from __future__ import annotations
 
-import functools
 import json
 import sys
-import time
 
 import numpy as np
 
 BASELINE_GPIX_S = 20.7  # derived RX 6800 XT-class throughput (BASELINE.md)
-
-
-def _timed(f, *args, reps=5):
-    import jax
-
-    r = f(*args)
-    _ = np.asarray(jax.tree.leaves(r)[0]).ravel()[:1]  # force completion
-    ts = []
-    for _i in range(reps):
-        t0 = time.perf_counter()
-        r = f(*args)
-        _ = np.asarray(jax.tree.leaves(r)[0]).ravel()[:1]
-        ts.append(time.perf_counter() - t0)
-    return float(np.median(ts))
-
-
-def measure_chain(step, x, n1=10, n2=110, reps=7):
-    """Per-iteration time of an on-device dependency chain (see module doc).
-
-    The two loop lengths are measured in alternation and paired, so slow
-    drift of the shared device's throughput cancels along with the constant
-    dispatch/transfer costs.
-    """
-    import jax
-    from jax import lax
-
-    @functools.partial(jax.jit, static_argnames="n")
-    def loop(x, n):
-        return lax.fori_loop(0, n, lambda i, z: step(z), x)
-
-    # compile + warm both variants
-    for n in (n1, n2):
-        r = loop(x, n)
-        _ = np.asarray(jax.tree.leaves(r)[0]).ravel()[:1]
-    diffs = []
-    for _i in range(reps):
-        ts = {}
-        for n in (n1, n2):
-            t0 = time.perf_counter()
-            r = loop(x, n)
-            _ = np.asarray(jax.tree.leaves(r)[0]).ravel()[:1]
-            ts[n] = time.perf_counter() - t0
-        diffs.append((ts[n2] - ts[n1]) / (n2 - n1))
-    return float(np.median(diffs))
 
 
 def main():
@@ -172,8 +125,10 @@ def main():
     # Config 5 (v5e-8 sharded preprocessing) needs a multi-chip slice; it is
     # exercised by examples/dataset_preprocessing.py and dryrun_multichip.
 
-    # On-device fidelity: fused kernel vs the frozen oracle at 540p->1080p.
+    # On-device fidelity: fused kernel vs the frozen oracle at 540p->1080p,
+    # and the fused gather(+RCAS) preset path at a 1.5x config.
     fidelity = None
+    fidelity_preset = None
     try:
         from fsr_tpu.reference import scalar as oracle
 
@@ -184,6 +139,15 @@ def main():
         )
         want = oracle.rcas_ref(oracle.easu_ref(img, (1080, 1920), con1b), rcon)
         fidelity = float(np.max(np.abs(got - want)))
+
+        con1p = EasuConstants.create((640, 360), None, (960, 540))
+        imgp = np.random.default_rng(6).uniform(0, 1, (3, 360, 640)).astype(np.float32)
+        gotp = np.asarray(dispatch.upscale_fused(
+            jnp.asarray(imgp), (540, 960), con1p, rcon,
+            apply_rcas=True, denoise=False, compute_dtype=jnp.float32,
+        ))
+        wantp = oracle.rcas_ref(oracle.easu_ref(imgp, (540, 960), con1p), rcon)
+        fidelity_preset = float(np.max(np.abs(gotp - wantp)))
     except Exception as e:  # pragma: no cover
         print(f"bench fidelity failed: {e}", file=sys.stderr)
 
@@ -206,7 +170,11 @@ def main():
         "device": str(dev),
         "all_ms": {k: round(v * 1e3, 3) for k, v in results.items()},
         "preset_ms_bf16": presets,
+        "preset_mpix_s": {
+            k: round(mpix / (v / 1e3), 1) for k, v in presets.items() if v
+        },
         "max_abs_dev_vs_oracle_f32": fidelity,
+        "preset_max_abs_dev_vs_oracle_f32": fidelity_preset,
         **extras,
     }
     print(json.dumps(line))

@@ -111,13 +111,19 @@ def _sat_fastpath(x, dt, hi_rcp_used: bool):
 
 
 def easu_texel_response(l_a, l_b, l_c, l_d, l_e, fast: bool = False):
-    """Per-texel '+'-pattern direction/length response (gx, gy, glen_x, glen_y).
+    """Per-texel '+'-pattern direction/length response.
 
     FsrEasuSetF's quadrant contribution factors as w_q(pp) * g(texel): g
     depends only on the texel's luma neighborhood, so kernels evaluate it
     once per *input* texel and blend four shifted slices per output phase —
     4x less set-stage work than evaluating per output pixel, with bit-equal
     accumulation order.
+
+    Returns (gx, gy, glen_x, glen_y), or (gx, gy, glen_x + glen_y) when
+    fast=True: both length responses accumulate into the same sum with the
+    same quadrant weight (ffx_fsr1.h:305/312), so pre-adding them per texel
+    saves one blend FMA per quadrant per output pixel (a ~1-ulp
+    reassociation, kernels only).
     """
     dt = l_c.dtype
     hi_rcp = approx.rcp_fast if fast else approx.rcp
@@ -134,6 +140,8 @@ def easu_texel_response(l_a, l_b, l_c, l_d, l_e, fast: bool = False):
     gy = l_e - l_a
     len_y = _sat_fastpath(jnp.abs(gy) * len_y, dt, hi_rcp_used=not prx)
     len_y = len_y * len_y
+    if fast:
+        return gx, gy, len_x + len_y
     return gx, gy, len_x, len_y
 
 
@@ -221,11 +229,17 @@ def easu_resolve(
         for wkey in keys:
             w = wq[wkey]
             if quad_g is not None:
-                gx, gy, glx, gly = quad_g[wkey]
-                dirx = dirx + gx * w
-                length = length + glx * w
-                diry = diry + gy * w
-                length = length + gly * w
+                if len(quad_g[wkey]) == 3:  # fast: pre-summed length response
+                    gx, gy, gl = quad_g[wkey]
+                    dirx = dirx + gx * w
+                    diry = diry + gy * w
+                    length = length + gl * w
+                else:
+                    gx, gy, glx, gly = quad_g[wkey]
+                    dirx = dirx + gx * w
+                    length = length + glx * w
+                    diry = diry + gy * w
+                    length = length + gly * w
                 continue
             _, (a, b_, cc, d, e) = quads[wkey]
             l_a, l_b, l_c, l_d, l_e = lum[a], lum[b_], lum[cc], lum[d], lum[e]
@@ -302,12 +316,20 @@ def easu_resolve(
     shape_hw = (lum["f"] if lum is not None else quad_g["s"][0]).shape
 
     if fast:
-        # Distribute len2 into the rotation vectors once per pixel (saves
-        # two multiplies per tap; ~1 ulp reassociation, kernels only).
-        dlx = dirx * len2_x
-        dly = diry * len2_x
-        dmx = (-diry) * len2_y
-        dmy = dirx * len2_y
+        # Tap distance as a quadratic form (kernels only, ~1-2 ulp
+        # reassociation): with v = M @ off for the rotation/anisotropy
+        # matrix M, d2 = |v|^2 = qa*off_x^2 + qb*off_x*off_y + qc*off_y^2.
+        # qa/qb/qc are per-pixel (computed once); each tap then needs one
+        # off_x*off_y product plus three FMAs instead of the six-op
+        # rotate-and-square, saving 2-3 VPU ops per tap.
+        lx2 = len2_x * len2_x
+        ly2 = len2_y * len2_y
+        xx = dirx * dirx
+        yy = diry * diry
+        xy = dirx * diry
+        qa = xx * lx2 + yy * ly2
+        qb = (xy + xy) * (lx2 - ly2)
+        qc = yy * lx2 + xx * ly2
 
     def accumulate_taps(names):
         if stacked:
@@ -320,12 +342,15 @@ def easu_resolve(
             off_x = c(float(dx)) - ppx
             off_y = c(float(dy)) - ppy
             if fast:
-                vx = off_x * dlx + off_y * dly
-                vy = off_x * dmx + off_y * dmy
+                sxx = off_x * off_x
+                sxy = off_x * off_y
+                syy = off_y * off_y
+                d2 = sxx * qa + (sxy * qb + syy * qc)
             else:
                 vx = (off_x * dirx + off_y * diry) * len2_x
                 vy = (off_x * (-diry) + off_y * dirx) * len2_y
-            d2 = jnp.minimum(vx * vx + vy * vy, clp)
+                d2 = vx * vx + vy * vy
+            d2 = jnp.minimum(d2, clp)
             w_a = lob * d2 + c(-1.0)
             w_a = w_a * w_a
             if fast:
@@ -428,8 +453,16 @@ def rcas_resolve(
     if denoise:
         lobe = lobe * nz
     rcp_l = med_rcp(c(4.0) * lobe + c(1.0))
-    out = tuple(
-        (lobe * taps_b[i] + lobe * taps_d[i] + lobe * taps_h[i] + lobe * taps_f[i] + taps_e[i]) * rcp_l
-        for i in range(3)
-    )
+    if fast:
+        # Factor the lobe out of the cross sum (4 ops/channel fewer; the
+        # reference's order is kept on the exact path for oracle parity).
+        out = tuple(
+            (lobe * ((taps_b[i] + taps_d[i]) + (taps_h[i] + taps_f[i])) + taps_e[i]) * rcp_l
+            for i in range(3)
+        )
+    else:
+        out = tuple(
+            (lobe * taps_b[i] + lobe * taps_d[i] + lobe * taps_h[i] + lobe * taps_f[i] + taps_e[i]) * rcp_l
+            for i in range(3)
+        )
     return jnp.stack(out, axis=0) if stacked else out

@@ -44,7 +44,7 @@ def upscale_fused(
     denoise: bool,
     compute_dtype,
 ):
-    from fsr_tpu.kernels import easu_gather, fused, rcas_pallas
+    from fsr_tpu.kernels import easu_gather, fused
 
     if fused.supported(image.shape, out_size, con, compute_dtype):
         # Integer-ratio phase structure: single fused EASU+RCAS kernel.
@@ -52,10 +52,9 @@ def upscale_fused(
             image, out_size, con, rcon,
             apply_rcas=apply_rcas, denoise=denoise, compute_dtype=compute_dtype,
         )
-    # Arbitrary ratio: one-hot MXU gather EASU, then the RCAS kernel.
-    out = easu_gather.easu_gather(image, out_size, con, compute_dtype=compute_dtype)
-    if apply_rcas:
-        out = rcas_pallas.rcas_fused(
-            out, rcon, denoise=denoise, compute_dtype=compute_dtype
-        )
-    return out
+    # Arbitrary ratio: one-hot MXU gather EASU with RCAS fused via the
+    # one-tile software pipeline (no intermediate HBM round trip).
+    return easu_gather.easu_gather(
+        image, out_size, con, rcon=rcon, apply_rcas=apply_rcas,
+        denoise=denoise, compute_dtype=compute_dtype,
+    )

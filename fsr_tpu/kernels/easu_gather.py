@@ -1,4 +1,4 @@
-"""General-ratio EASU Pallas kernel: tap gathers as one-hot MXU matmuls.
+"""General-ratio EASU(+RCAS) Pallas kernel: tap gathers as one-hot MXU matmuls.
 
 The fused phase-decomposed kernel (kernels/fused.py) requires the
 output->input mapping to advance one source texel per qx outputs (integer
@@ -16,6 +16,15 @@ row) selects source rows fy(j)+dy; the dy/dx variants are rolls of one base
 one-hot matrix.  One-hot selection through the MXU is exact (each output
 element is one product by 1.0).
 
+RCAS fuses into the same kernel (the reference runs EASU+RCAS back to back
+for every quality preset, FSR_Filter.cpp:119-133) with a one-tile software
+pipeline: the RCAS cross at an output tile's right edge needs its right
+neighbor's first column, so grid step tx computes EASU for tile tx and
+sharpens tile tx-1, whose neighbors both exist by then.  EASU rows carry a
+one-row halo (baked into the row selectors); the left-neighbor column rides
+a one-vreg ring buffer.  This removes the separate RCAS dispatch and the
+intermediate image's HBM round trip + pad.
+
 Subpixel fractions are passed in as per-axis arrays: they must match the
 ground-truth host coordinates bit-for-bit, and recomputing them in-kernel
 is unsafe — Mosaic contracts x*sx+ox into an FMA (excess precision), which
@@ -23,14 +32,13 @@ flips floor() at exact-integer positions and de-synchronizes the fraction
 from the gathered taps.
 
 This covers any EASU ratio (1x..4x area) including Dynamic Resolution
-Scaling offsets.  RCAS runs as the standalone kernel afterwards
-(kernels/rcas_pallas.py) — the gather tiles don't line up for fusion.
+Scaling offsets.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -39,7 +47,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from fsr_tpu.core import easu_math
-from fsr_tpu.core.constants import EasuConstants
+from fsr_tpu.core.constants import EasuConstants, RcasConstants
 from fsr_tpu.ops.easu import easu_coords
 
 INTERPRET = False
@@ -59,7 +67,18 @@ def supported(in_shape, out_size, con: EasuConstants, compute_dtype) -> bool:
     return hout >= hin and wout >= win
 
 
-def _pick_tiles(hout: int, wout: int):
+def _pick_tiles(hout: int, wout: int, apply_rcas: bool = False):
+    """On-device sweep (v5e, 1.5x -> 4K): the fused EASU+RCAS pipeline is
+    fastest at (120, 384) — tj=120 makes the 2-row RCAS halo round to one
+    extra sublane granule (128 rows, +6.7%) instead of +12.5% at tj=64, and
+    ti=384 amortizes per-step scratch traffic without the VMEM spills that
+    set in at ti>=512.  The EASU-only kernel keeps (64, 256)."""
+    if apply_rcas:
+        ti = 384 if wout >= 384 else (256 if wout >= 256 else 128)
+        tj = 120
+        while tj > hout and tj > 8:
+            tj = 8 * ((tj // 2) // 8) or 8
+        return tj, ti
     ti = 256
     while ti > wout and ti > 128:
         ti //= 2
@@ -69,19 +88,25 @@ def _pick_tiles(hout: int, wout: int):
     return tj, ti
 
 
-def _axis_plan(f: np.ndarray, n_out: int, tile: int, pad_lead: int, align: int):
+def _axis_plan(f: np.ndarray, n_out: int, tile: int, pad_lead: int, align: int,
+               lead: int = 0, ext: int = None):
     """Per-tile aligned window starts and the uniform window size.
 
-    Returns (starts[nt] int32 in padded coords, local[nt, tile] int32,
-    window int).  local[t, u] = source index of output u relative to the
-    window start; taps need local-1 .. local+2, all inside [0, window).
+    Returns (starts[nt] int32 in padded coords, local[nt, ext] int32,
+    window int).  local[t, u] = source index of output (t*tile - lead + u)
+    relative to the window start; taps need local-1 .. local+2, all inside
+    [0, window).  Indices outside [0, n_out) are clamped, so lead/trail
+    halo rows duplicate the edge output exactly (which reproduces the RCAS
+    border rule bit-for-bit).
     """
     nt = -(-n_out // tile)
+    ext = tile if ext is None else ext
     starts = np.zeros(nt, np.int32)
-    local = np.zeros((nt, tile), np.int32)
+    local = np.zeros((nt, ext), np.int32)
     span = 0
     for t in range(nt):
-        idx = np.minimum(np.arange(t * tile, (t + 1) * tile), n_out - 1)
+        idx = np.arange(t * tile - lead, t * tile - lead + ext)
+        idx = np.clip(idx, 0, n_out - 1)
         fw = f[idx].astype(np.int64)
         start = (fw[0] - 1 + pad_lead) // align * align
         starts[t] = start
@@ -92,15 +117,26 @@ def _axis_plan(f: np.ndarray, n_out: int, tile: int, pad_lead: int, align: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("out_size", "con", "compute_dtype")
+    jax.jit,
+    static_argnames=("out_size", "con", "rcon", "apply_rcas", "denoise",
+                     "compute_dtype"),
 )
 def easu_gather(
     image: jnp.ndarray,
     out_size: Tuple[int, int],
     con: EasuConstants,
+    rcon: Optional[RcasConstants] = None,
+    apply_rcas: bool = False,
+    denoise: bool = False,
     compute_dtype=jnp.float32,
 ) -> jnp.ndarray:
-    """EASU upscale for arbitrary ratios.  image: (..., 3, Hin, Win)."""
+    """EASU upscale (optionally + fused RCAS) for arbitrary ratios.
+
+    image: (..., 3, Hin, Win).  With apply_rcas=True, `rcon` is required and
+    the output is the sharpened upscale (FsrEasuF then FsrRcasF semantics).
+    """
+    if apply_rcas and rcon is None:
+        raise ValueError("apply_rcas=True requires rcon")
     batch_dims = image.shape[:-3]
     image = image.reshape((-1,) + image.shape[-3:])
     nb = image.shape[0]
@@ -109,12 +145,18 @@ def easu_gather(
     hout, wout = out_size
     hin, win = image.shape[-2:]
     fx, fy, px, py = easu_coords(con, out_size)
-    tj, ti = _pick_tiles(hout, wout)
+    tj, ti = _pick_tiles(hout, wout, apply_rcas=apply_rcas)
     ny, nx = pl.cdiv(hout, tj), pl.cdiv(wout, ti)
+    rhalo = 1 if apply_rcas else 0
+    # Extended rows: one RCAS halo row each side, rounded up to the sublane
+    # granule (the extra rows clamp to the bottom edge and are sliced off).
+    tj_e = -(-(tj + 2) // 8) * 8 if apply_rcas else tj
+    nsteps = nx + 1 if apply_rcas else nx
 
     pad_top = max(0, 2 - int(fy[0]))
     pad_left = max(0, 2 - int(fx[0]))
-    row_starts, lfy, tih = _axis_plan(fy, hout, tj, pad_top, 8)
+    row_starts, lfy, tih = _axis_plan(fy, hout, tj, pad_top, 8,
+                                      lead=rhalo, ext=tj_e)
     col_starts, lfx, tiw = _axis_plan(fx, wout, ti, pad_left, 128)
     pad_bottom = max(0, int(row_starts.max()) + tih - (hin + pad_top))
     pad_right = max(0, int(col_starts.max()) + tiw - (win + pad_left))
@@ -133,9 +175,9 @@ def easu_gather(
     # value, so selection stays bit-exact with bf16-rate matmuls (Mosaic
     # rejects Precision.HIGH, and HIGHEST costs 6 passes).
     mm_dt = jnp.float32 if dt == jnp.float32 else jnp.bfloat16
-    R = np.zeros((ny, tj, tih), np.float32)
+    R = np.zeros((ny, tj_e, tih), np.float32)
     for t in range(ny):
-        R[t, np.arange(tj), lfy[t] - 1] = 1.0
+        R[t, np.arange(tj_e), lfy[t] - 1] = 1.0
     St = np.zeros((nx, tiw, ti), np.float32)
     for t in range(nx):
         St[t, lfx[t] - 1, np.arange(ti)] = 1.0
@@ -143,27 +185,31 @@ def easu_gather(
     St = jnp.asarray(St, jnp.bfloat16)
 
     # Host-exact subpixel fractions, padded to the tile grid and shaped for
-    # aligned (8, 128) blocks.
+    # aligned (8, 128) blocks.  Row fractions carry the same clamped halo as
+    # the row selectors, so a duplicated edge row is bit-identical.
     ppx_arr = np.zeros((8, nx * ti), np.float32)
     ppx_arr[:, :wout] = px[None, :]
-    ppy_arr = np.zeros((ny * tj, 128), np.float32)
-    ppy_arr[:hout, :] = py[:, None]
+    ppy_arr = np.zeros((ny * tj_e, 128), np.float32)
+    for t in range(ny):
+        idx = np.clip(np.arange(t * tj - rhalo, t * tj - rhalo + tj_e), 0, hout - 1)
+        ppy_arr[t * tj_e:(t + 1) * tj_e, :] = py[idx][:, None]
     ppx_arr = jnp.asarray(ppx_arr)
     ppy_arr = jnp.asarray(ppy_arr)
 
+    sharp = float(rcon.sharpness) if rcon is not None else 0.0
+
     def kernel(rs_ref, cs_ref, src_ref, r_ref, st_ref, ppx_ref, ppy_ref,
-               out_ref, tile, sem):
+               out_ref, *scratch):
+        if apply_rcas:
+            tile, e_prev, e_cur, lastcol, sem = scratch
+        else:
+            tile, sem = scratch
         bi = pl.program_id(0)
         ty = pl.program_id(1)
         tx = pl.program_id(2)
+        txc = jnp.minimum(tx, nx - 1)
         rstart = pl.multiple_of(rs_ref[ty], 8)
-        cstart = pl.multiple_of(cs_ref[tx], 128)
-        dma = pltpu.make_async_copy(
-            src_ref.at[bi, :, pl.ds(rstart, tih), pl.ds(cstart, tiw)],
-            tile, sem,
-        )
-        dma.start()
-        dma.wait()
+        cstart = pl.multiple_of(cs_ref[txc], 128)
 
         def lshift(arr, k, axis):
             """result[i] = arr[i + k] (data shifts)."""
@@ -181,105 +227,172 @@ def easu_gather(
                 return rshift(arr.astype(jnp.float32), k, axis).astype(arr.dtype)
             return pltpu.roll(arr, k % arr.shape[axis], axis=axis)
 
-        tile3 = tile[:, :, :]
-        lumt = (
-            tile3[2].astype(jnp.float32) * 0.5
-            + (tile3[0].astype(jnp.float32) * 0.5 + tile3[1].astype(jnp.float32))
-        )
-        # g index (m, n) = '+'-response at texel (m+1, n+1).
-        g_tex = easu_math.easu_texel_response(
-            lshift(lumt, 1, 1),                      # a: (m, n+1)
-            lshift(lumt, 1, 0),                      # b: (m+1, n)
-            lshift(lshift(lumt, 1, 0), 1, 1),        # c: (m+1, n+1)
-            lshift(lshift(lumt, 1, 0), 2, 1),        # d: (m+1, n+2)
-            lshift(lshift(lumt, 2, 0), 1, 1),        # e: (m+2, n+1)
-            fast=True,
-        )
+        def easu_tile():
+            dma = pltpu.make_async_copy(
+                src_ref.at[bi, :, pl.ds(rstart, tih), pl.ds(cstart, tiw)],
+                tile, sem,
+            )
+            dma.start()
+            dma.wait()
 
-        r0 = r_ref[0]    # (tj, tih): selects source row lfy - 1
-        st0 = st_ref[0]  # (tiw, ti): selects source col lfx - 1
-
-        def bf16_dot(a, b):
-            return jnp.dot(
-                a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
-                preferred_element_type=jnp.float32,
+            tile3 = tile[:, :, :]
+            lumt = (
+                tile3[2].astype(jnp.float32) * 0.5
+                + (tile3[0].astype(jnp.float32) * 0.5 + tile3[1].astype(jnp.float32))
+            )
+            # g index (m, n) = '+'-response at texel (m+1, n+1).
+            g_tex = easu_math.easu_texel_response(
+                lshift(lumt, 1, 1),                      # a: (m, n+1)
+                lshift(lumt, 1, 0),                      # b: (m+1, n)
+                lshift(lshift(lumt, 1, 0), 1, 1),        # c: (m+1, n+1)
+                lshift(lshift(lumt, 1, 0), 2, 1),        # d: (m+1, n+2)
+                lshift(lshift(lumt, 2, 0), 1, 1),        # e: (m+2, n+1)
+                fast=True,
             )
 
-        def split3(x):
-            """f32 -> three bf16 terms with exact sum (8+8+8 mantissa bits)."""
-            x = x.astype(jnp.float32)
-            hi = x.astype(jnp.bfloat16)
-            r = x - hi.astype(jnp.float32)
-            mid = r.astype(jnp.bfloat16)
-            lo = r - mid.astype(jnp.float32)
-            return hi, mid, lo
+            r0 = r_ref[0]    # (tj_e, tih): selects source row lfy - 1
+            st0 = st_ref[0]  # (tiw, ti): selects source col lfx - 1
 
-        if mm_dt == jnp.float32:
-            def sel_cols(data_f32, onehot):
-                parts = split3(data_f32)
-                return sum(bf16_dot(p, onehot) for p in parts)
+            def bf16_dot(a, b):
+                return jnp.dot(
+                    a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32,
+                )
 
-            def sel_rows(onehot, data_f32):
-                parts = split3(data_f32)
-                return sum(bf16_dot(onehot, p) for p in parts)
-        else:
-            def sel_cols(data, onehot):
-                return bf16_dot(data, onehot)
+            def split3(x):
+                """f32 -> three bf16 terms with exact sum (8+8+8 mantissa bits)."""
+                x = x.astype(jnp.float32)
+                hi = x.astype(jnp.bfloat16)
+                r = x - hi.astype(jnp.float32)
+                mid = r.astype(jnp.bfloat16)
+                lo = r - mid.astype(jnp.float32)
+                return hi, mid, lo
 
-            def sel_rows(onehot, data):
-                return bf16_dot(onehot, data)
+            if mm_dt == jnp.float32:
+                def sel_cols(data_f32, onehot):
+                    parts = split3(data_f32)
+                    return sum(bf16_dot(p, onehot) for p in parts)
 
-        # Selector variants: index k selects (lf + k - 1).
-        st_k = {k: rshift(st0, k, 0) for k in range(4)}
-        r_k = {k: rshift(r0, k, 1) for k in range(4)}
+                def sel_rows(onehot, data_f32):
+                    parts = split3(data_f32)
+                    return sum(bf16_dot(onehot, p) for p in parts)
+            else:
+                def sel_cols(data, onehot):
+                    return bf16_dot(data, onehot)
 
-        # Column gather: cg[k][ch] = tile_ch selected at col lfx + k - 1.
-        cg = {k: [sel_cols(tile3[ch], st_k[k]) for ch in range(3)]
-              for k in range(4)}
-        # g gather columns: the g grid is offset by -1 from texels, so
-        # selecting g col (lfx + qdx - 1) uses selector k = qdx.
-        cgg = {qdx: [sel_cols(comp, st_k[qdx]) for comp in g_tex] for qdx in (0, 1)}
+                def sel_rows(onehot, data):
+                    return bf16_dot(onehot, data)
 
-        taps = {}
-        for name, (dx, dy) in easu_math.TAP_OFFSETS.items():
-            planes = cg[dx + 1]
-            taps[name] = jnp.stack(
-                [sel_rows(r_k[dy + 1], p) for p in planes], axis=0
+            # Selector variants: index k selects (lf + k - 1).
+            st_k = {k: rshift(st0, k, 0) for k in range(4)}
+            r_k = {k: rshift(r0, k, 1) for k in range(4)}
+
+            # Column gather: cg[k][ch] = tile_ch selected at col lfx + k - 1.
+            cg = {k: [sel_cols(tile3[ch], st_k[k]) for ch in range(3)]
+                  for k in range(4)}
+            # g gather columns: the g grid is offset by -1 from texels, so
+            # selecting g col (lfx + qdx - 1) uses selector k = qdx.
+            cgg = {qdx: [sel_cols(comp, st_k[qdx]) for comp in g_tex]
+                   for qdx in (0, 1)}
+
+            taps = {}
+            for name, (dx, dy) in easu_math.TAP_OFFSETS.items():
+                planes = cg[dx + 1]
+                taps[name] = jnp.stack(
+                    [sel_rows(r_k[dy + 1], p) for p in planes], axis=0
+                )
+            quad_off = {"s": (0, 0), "t": (0, 1), "u": (1, 0), "v": (1, 1)}
+            quad_g = {
+                qk: tuple(sel_rows(r_k[qdy], p) for p in cgg[qdx])
+                for qk, (qdy, qdx) in quad_off.items()
+            }
+
+            ppx = ppx_ref[0:1, :]   # (1, ti)
+            ppy = ppy_ref[:, 0:1]   # (tj_e, 1)
+
+            # Math is f32 in-kernel (taps arrive f32 from the f32-accumulating
+            # dots); compute_dtype controls storage only.
+            return easu_math.easu_resolve(
+                taps, ppx, ppy, dtype=jnp.float32, dir_dtype=jnp.float32,
+                fast=True, quad_g=quad_g,
             )
-        quad_off = {"s": (0, 0), "t": (0, 1), "u": (1, 0), "v": (1, 1)}
-        quad_g = {
-            qk: tuple(sel_rows(r_k[qdy], p) for p in cgg[qdx])
-            for qk, (qdy, qdx) in quad_off.items()
-        }
 
-        ppx = ppx_ref[0:1, :]   # (1, ti)
-        ppy = ppy_ref[:, 0:1]   # (tj, 1)
+        if not apply_rcas:
+            out_ref[0, :, :, :] = easu_tile().astype(dt)
+            return
 
-        # Math is f32 in-kernel (taps arrive f32 from the f32-accumulating
-        # dots); compute_dtype controls storage only.
-        res = easu_math.easu_resolve(
-            taps, ppx, ppy, dtype=jnp.float32, dir_dtype=jnp.float32,
-            fast=True, quad_g=quad_g,
-        )
-        out_ref[0, :, :, :] = res.astype(dt)
+        # --- EASU for tile tx (skipped on the drain step tx == nx).
+        @pl.when(tx < nx)
+        def _():
+            e_cur[:, :, :] = easu_tile()
+
+        # --- RCAS for tile tx - 1: both of its column neighbors now exist
+        # (left edge via the lastcol ring, right edge via e_cur).
+        @pl.when(tx > 0)
+        def _():
+            ep = e_prev[:, :, :]
+            ec = e_cur[:, :, :]
+            n = ep.shape[-1]
+            b = pltpu.roll(ep, 1, axis=1)       # b[j] = ep[j-1]
+            hh = pltpu.roll(ep, tj_e - 1, axis=1)  # h[j] = ep[j+1]
+            d = pltpu.roll(ep, 1, axis=2)       # d[i] = ep[i-1]
+            f = pltpu.roll(ep, n - 1, axis=2)   # f[i] = ep[i+1]
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1,) + ep.shape[1:], 2)
+            # Left boundary column: E(tx-2)'s last column from the ring.
+            lc = lastcol[:, :, :]
+            if ti > 128:
+                lc = jnp.concatenate(
+                    [lc, jnp.zeros((3, tj_e, ti - 128), jnp.float32)], axis=2
+                )
+            d = jnp.where(lane == 0, lc, d)
+            # Right boundary column: E(tx)'s first column (rolled to lane
+            # ti-1).  On the drain step e_cur is stale, but that lane is
+            # either past wout (ragged last tile; selectors already clamp)
+            # or clamped to the center below.
+            f = jnp.where(lane == n - 1, pltpu.roll(ec, n - 1, axis=2), f)
+
+            gcol = (tx - 1) * ti + lane
+            d = jnp.where(gcol == 0, ep, d)
+            f = jnp.where(gcol == wout - 1, ep, f)
+            res = easu_math.rcas_resolve(
+                b, d, ep, f, hh, sharp, denoise=denoise, fast=True
+            )
+            out_ref[0, :, :, :] = res[:, rhalo:rhalo + tj, :].astype(dt)
+
+        # --- Ring updates (read-before-write order is preserved above).
+        lastcol[:, :, :] = pltpu.roll(e_prev[:, :, :], 1, axis=2)[:, :, :128]
+        e_prev[:, :, :] = e_cur[:, :, :]
+
+    if apply_rcas:
+        scratch_shapes = [
+            pltpu.VMEM((3, tih, tiw), dt),
+            pltpu.VMEM((3, tj_e, ti), jnp.float32),
+            pltpu.VMEM((3, tj_e, ti), jnp.float32),
+            pltpu.VMEM((3, tj_e, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ]
+        out_index = lambda bi, ty, tx, *_: (bi, 0, ty, jnp.maximum(tx - 1, 0))
+    else:
+        scratch_shapes = [
+            pltpu.VMEM((3, tih, tiw), dt),
+            pltpu.SemaphoreType.DMA(()),
+        ]
+        out_index = lambda bi, ty, tx, *_: (bi, 0, ty, tx)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(nb, ny, nx),
+        grid=(nb, ny, nsteps),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),  # src
-            pl.BlockSpec((1, tj, tih), lambda bi, ty, tx, *_: (ty, 0, 0)),
-            pl.BlockSpec((1, tiw, ti), lambda bi, ty, tx, *_: (tx, 0, 0)),
-            pl.BlockSpec((8, ti), lambda bi, ty, tx, *_: (0, tx)),
-            pl.BlockSpec((tj, 128), lambda bi, ty, tx, *_: (ty, 0)),
+            pl.BlockSpec((1, tj_e, tih), lambda bi, ty, tx, *_: (ty, 0, 0)),
+            pl.BlockSpec((1, tiw, ti),
+                         lambda bi, ty, tx, *_: (jnp.minimum(tx, nx - 1), 0, 0)),
+            pl.BlockSpec((8, ti),
+                         lambda bi, ty, tx, *_: (0, jnp.minimum(tx, nx - 1))),
+            pl.BlockSpec((tj_e, 128), lambda bi, ty, tx, *_: (ty, 0)),
         ],
-        out_specs=pl.BlockSpec(
-            (1, 3, tj, ti), lambda bi, ty, tx, *_: (bi, 0, ty, tx)
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((3, tih, tiw), dt),
-            pltpu.SemaphoreType.DMA(()),
-        ],
+        out_specs=pl.BlockSpec((1, 3, tj, ti), out_index),
+        scratch_shapes=scratch_shapes,
     )
     out = pl.pallas_call(
         kernel,

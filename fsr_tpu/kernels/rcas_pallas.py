@@ -1,9 +1,9 @@
 """Standalone RCAS Pallas kernel (FsrRcasF semantics, any image size).
 
-Used on its own (sharpening without scaling — the reference supports RCAS
-as an independent pass, ffx_fsr1.h:602-608) and as the second stage of the
-general-ratio path (kernels/easu_gather.py), where EASU and RCAS tile
-structures don't line up for fusion.
+Used for sharpening without scaling — the reference supports RCAS as an
+independent pass (ffx_fsr1.h:602-608).  When RCAS follows EASU it instead
+fuses into the upscaling kernels (kernels/fused.py in phase-planar space;
+kernels/easu_gather.py via the one-tile software pipeline).
 
 The 5-tap cross is extracted with full-shape rolls on a vreg-aligned input
 tile with a 1px halo (see kernels/fused.py for the roll rationale); border

@@ -69,6 +69,44 @@ def test_easu_gather_batched(rng):
     np.testing.assert_allclose(got, want, atol=ATOL, rtol=0)
 
 
+@pytest.mark.parametrize("in_hw,out_hw", RATIOS)
+def test_easu_gather_fused_rcas(rng, in_hw, out_hw):
+    """The in-kernel pipelined RCAS must match EASU->RCAS run separately."""
+    img = rng.uniform(0, 1, (3, *in_hw)).astype(np.float32)
+    con = _con(in_hw, out_hw)
+    rcon = RcasConstants(0.25)
+    got = np.asarray(
+        easu_gather.easu_gather(jnp.asarray(img), out_hw, con, rcon=rcon, apply_rcas=True)
+    )
+    want = np.asarray(
+        rcas_ops.rcas(easu_ops.easu(jnp.asarray(img), out_hw, con), rcon)
+    )
+    np.testing.assert_allclose(got, want, atol=ATOL, rtol=0)
+
+
+def test_easu_gather_fused_rcas_denoise_batched(rng):
+    in_hw, out_hw = (48, 128), (72, 192)
+    imgs = rng.uniform(0, 1, (2, 3, *in_hw)).astype(np.float32)
+    con = _con(in_hw, out_hw)
+    rcon = RcasConstants(0.5)
+    got = np.asarray(
+        easu_gather.easu_gather(
+            jnp.asarray(imgs), out_hw, con, rcon=rcon, apply_rcas=True, denoise=True
+        )
+    )
+    want = np.asarray(
+        rcas_ops.rcas(easu_ops.easu(jnp.asarray(imgs), out_hw, con), rcon, denoise=True)
+    )
+    assert got.shape == (2, 3, *out_hw)
+    np.testing.assert_allclose(got, want, atol=ATOL, rtol=0)
+
+
+def test_easu_gather_fused_rcas_requires_rcon():
+    con = _con((72, 128), (108, 192))
+    with pytest.raises(ValueError):
+        easu_gather.easu_gather(jnp.zeros((3, 72, 128)), (108, 192), con, apply_rcas=True)
+
+
 @pytest.mark.parametrize("hw", [(64, 160), (67, 131)])
 def test_rcas_kernel_matches_xla(rng, hw):
     img = rng.uniform(0, 1, (3, *hw)).astype(np.float32)

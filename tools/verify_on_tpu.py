@@ -77,6 +77,35 @@ def main() -> int:
     got2 = rcas_pallas.rcas_fused(got, rcon)
     check("rcas_fused f32", got2, ref.rcas_ref(easu_want, rcon), 4e-5)
 
+    # 2a. Fused gather+RCAS pipeline across the shipping preset ratios,
+    # at sizes with many column tiles (the cross-tile handoff is the risk).
+    print("gather kernel with fused RCAS (preset ratios):")
+    for label, scale in (("ultra_1.3x", 1.3), ("quality_1.5x", 1.5),
+                         ("balanced_1.7x", 1.7)):
+        oh, ow = 540, 1280  # 4K-adjacent aspect: 4+ column tiles at ti=384
+        ih, iw = int(oh / scale), int(ow / scale)
+        con_p = EasuConstants.create((iw, ih), None, (ow, oh))
+        img_p = rng.uniform(0, 1, (3, ih, iw)).astype(np.float32)
+        want_p = oracle(img_p, (oh, ow), con_p, rcon)
+        got_p = easu_gather.easu_gather(
+            jnp.asarray(img_p), (oh, ow), con_p, rcon=rcon, apply_rcas=True
+        )
+        check(f"{label} f32", got_p, want_p, 4e-5)
+    # bf16 storage + denoise on the fused path
+    got_b = easu_gather.easu_gather(
+        jnp.asarray(img_p), (oh, ow), con_p, rcon=rcon, apply_rcas=True,
+        compute_dtype=jnp.bfloat16,
+    ).astype(jnp.float32)
+    d = np.abs(np.asarray(got_b) - want_p)
+    print(f"  INFO fused-gather bf16: median={np.median(d):.3g} p99={np.percentile(d, 99):.3g}")
+    if np.median(d) > BUDGET:
+        failures.append("fused-gather bf16 median")
+    got_d = easu_gather.easu_gather(
+        jnp.asarray(img_p), (oh, ow), con_p, rcon=rcon, apply_rcas=True, denoise=True
+    )
+    check("fused-gather denoise f32", got_d,
+          oracle(img_p, (oh, ow), con_p, rcon, denoise=True), 4e-5)
+
     # 2b. Regression: integer-fraction columns (the FMA/floor desync size).
     print("gather kernel (irregular 1.266x with frac==0 columns):")
     in_hw, out_hw = (58, 165), (73, 209)
