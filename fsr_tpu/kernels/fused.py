@@ -219,7 +219,7 @@ def _pack2_bf16(lo: jnp.ndarray, hi: jnp.ndarray) -> jnp.ndarray:
     jax.jit,
     static_argnames=(
         "out_size", "con", "rcon", "apply_rcas", "denoise", "compute_dtype",
-        "assemble",
+        "assemble", "global_rows",
     ),
 )
 def upscale_fused(
@@ -231,16 +231,25 @@ def upscale_fused(
     denoise: bool = False,
     compute_dtype=jnp.float32,
     assemble: str = "kernel",
+    row_offset=None,
+    global_rows: int = None,
 ) -> jnp.ndarray:
     """Fused EASU(+RCAS) on TPU.  image: (..., 3, Hin, Win) in [0, 1].
 
     assemble: how phase planes become the interleaved output.
-      "kernel" (default): butterfly-riffle inside the kernel (~15% of the
-      kernel's VPU time).
+      "kernel" (default): bf16 integer row-packing + sublane bitcast, or
+      the butterfly riffle for f32.
       "xla": the kernel emits one output per phase and XLA interleaves
       them.  Measured 4x slower end-to-end: XLA's inner-dim-2 transpose
       runs far below HBM bandwidth.  Kept for phase-planar consumers (a
       video pipeline that wants planar frames can take outs pre-reshape).
+
+    row_offset / global_rows: for spatially sharded execution (see
+    parallel/spatial.py).  The RCAS border clamp compares output rows
+    against the *global* image extent: row_offset (a traced scalar — it
+    differs per shard under shard_map) is added to local row indices, and
+    global_rows (static) is the full image height.  Defaults reproduce the
+    unsharded behavior (offset 0, global_rows = out rows).
     """
     # Batch handling: a native leading grid dimension (vmap cannot batch the
     # manual-DMA input, and a grid dim pipelines frames without re-dispatch).
@@ -273,32 +282,51 @@ def upscale_fused(
     # rows jj + r(a) + dy for dy in [-1, 2].
     ry_min, ry_max = min(ry), max(ry)
     rx_min, rx_max = min(rx), max(rx)
-    pad_top = 2 - ry_min
-    pad_left = 2 - rx_min
+    # Leading adjustment so padded row p maps to source row p - 2 + ry_min:
+    # pad when the earliest tap reaches before the image, crop when a
+    # positive input_offset (sharded strips) pushes it inside.
+    lead_y = 2 - ry_min
+    lead_x = 2 - rx_min
+    crop_top, pad_top = max(0, -lead_y), max(0, lead_y)
+    crop_left, pad_left = max(0, -lead_x), max(0, lead_x)
     def _round_up(v, m):
         return -(-v // m) * m
 
     # DMA slice shapes must align to the (8, 128) vreg tiling.
     tih = _round_up(tj + 2 + (ry_max - ry_min) + 3, 8)
     tiw = _round_up(ti + 2 + (rx_max - rx_min) + 3, 128)
-    pad_bottom = max(0, (ny - 1) * tj + tih - (hin + pad_top))
-    pad_right = max(0, (nx - 1) * ti + tiw - (win + pad_left))
+    pad_bottom = max(0, (ny - 1) * tj + tih - (hin - crop_top + pad_top))
+    pad_right = max(0, (nx - 1) * ti + tiw - (win - crop_left + pad_left))
 
-    src = image.astype(dt)
+    src = image.astype(dt)[..., crop_top:, crop_left:]
     src = jnp.pad(
         src,
         ((0, 0), (0, 0), (pad_top, pad_bottom), (pad_left, pad_right)),
         mode="edge",
     )
 
-    sharp = float(rcon.sharpness_f16 if dt == jnp.float16 else rcon.sharpness)
+    if assemble not in ("kernel", "xla"):
+        raise ValueError(f"assemble must be 'kernel' or 'xla', got {assemble!r}")
+    if global_rows is None:
+        global_rows = hout
+    dyn_off = row_offset is not None
+    roff_arr = (
+        jnp.asarray(row_offset, jnp.int32).reshape(1) if dyn_off else None
+    )
 
-    def kernel(src_ref, *refs):
+    def kernel(*args):
+        if dyn_off:
+            src_ref, roff_ref = args[0], args[1]
+            refs = args[2:]
+        else:
+            src_ref = args[0]
+            refs = args[1:]
         if assemble == "xla":
             out_refs = refs[: qy * qx]  # one per phase (a, b), row-major
         else:
             (out_ref,) = refs[:1]
         tile, sem = refs[-2], refs[-1]
+        row_off = roff_ref[0] if dyn_off else 0
         bi = pl.program_id(0)
         ty = pl.program_id(1)
         tx = pl.program_id(2)
@@ -424,12 +452,12 @@ def upscale_fused(
                     # the sharpening stage in f32 and round at the store.
                     jrow = ty * tj + jax.lax.broadcasted_iota(jnp.int32, (1, tj, ti), 1)
                     icol = tx * ti + jax.lax.broadcasted_iota(jnp.int32, (1, tj, ti), 2)
-                    grow = jrow * qy + a
+                    grow = row_off + jrow * qy + a
                     gcol = icol * qx + b
 
                     e_t = e3
                     bt = jnp.where(grow == 0, e_t, bt)
-                    ht = jnp.where(grow == hout - 1, e_t, ht)
+                    ht = jnp.where(grow == global_rows - 1, e_t, ht)
                     dtp = jnp.where(gcol == 0, e_t, dtp)
                     ftp = jnp.where(gcol == wout - 1, e_t, ftp)
                     res = easu_math.rcas_resolve(
@@ -464,6 +492,12 @@ def upscale_fused(
                 out_rows = [_riffle(res_ab[a], axis=2) for a in range(qy)]
                 out_ref[0, :, :, :] = _riffle(out_rows, axis=1).astype(dt)
 
+    in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)]
+    operands = (src,)
+    if dyn_off:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        operands = (src, roff_arr)
+
     if assemble == "xla":
         phase_spec = pl.BlockSpec(
             (1, 3, tj, ti), lambda bi, ty, tx: (bi, 0, ty, tx),
@@ -472,7 +506,7 @@ def upscale_fused(
         outs = pl.pallas_call(
             kernel,
             grid=(nb, ny, nx),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            in_specs=in_specs,
             out_specs=tuple(phase_spec for _ in range(qy * qx)),
             out_shape=tuple(
                 jax.ShapeDtypeStruct((nb, 3, hpl, wpl), dt) for _ in range(qy * qx)
@@ -482,7 +516,7 @@ def upscale_fused(
                 pltpu.SemaphoreType.DMA(()),
             ],
             interpret=INTERPRET,
-        )(src)
+        )(*operands)
         # Interleave phases in one fused transpose+reshape pass.
         stackd = jnp.stack(outs).reshape(qy, qx, nb, 3, hpl, wpl)
         out = stackd.transpose(2, 3, 4, 0, 5, 1).reshape(nb, 3, hout, wout)
@@ -491,7 +525,7 @@ def upscale_fused(
     out = pl.pallas_call(
         kernel,
         grid=(nb, ny, nx),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (1, 3, qy * tj, qx * ti),
             lambda bi, ty, tx: (bi, 0, ty, tx),
@@ -503,5 +537,5 @@ def upscale_fused(
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=INTERPRET,
-    )(src)
+    )(*operands)
     return out.reshape(batch_dims + (3, hout, wout))

@@ -53,16 +53,22 @@ def upscale_batch_sharded(
     """Upscale a batch of frames, batch-sharded across the mesh.
 
     images: (B, 3, H, W) with B divisible by the mesh axis size.  Equivalent
-    to fsr_tpu.upscale but with explicit input/output shardings so each chip
-    processes its local frames; no collectives are required.
+    to fsr_tpu.upscale, but executed under shard_map so each chip runs the
+    full kernel path (Pallas on TPU meshes) on its local frames; no
+    collectives are required.  XLA cannot partition an opaque kernel call on
+    its own, which is why this is a shard_map and not bare jit+shardings.
     """
+    from jax.experimental.shard_map import shard_map
+
     from fsr_tpu import api
 
     spec = NamedSharding(mesh, P(axis, None, None, None))
     images = jax.device_put(images, spec)
+    pspec = P(axis, None, None, None)
     fn = jax.jit(
-        lambda x: api.upscale(x, **upscale_kwargs),
-        in_shardings=spec,
-        out_shardings=spec,
+        shard_map(
+            lambda x: api.upscale(x, **upscale_kwargs),
+            mesh=mesh, in_specs=pspec, out_specs=pspec, check_rep=False,
+        )
     )
     return fn(images)

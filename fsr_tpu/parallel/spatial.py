@@ -35,6 +35,11 @@ __all__ = ["upscale_spatial_sharded", "spatial_shardable"]
 _HALO = 4  # input rows exchanged per side; covers EASU taps + RCAS halo
 
 
+def _kernel_path(mesh: "Mesh") -> bool:
+    """True when shards should run the fused Pallas kernel (real TPU mesh)."""
+    return mesh.devices.flat[0].platform == "tpu" and not fused.INTERPRET
+
+
 def spatial_shardable(in_size, out_size, n_shards: int) -> bool:
     """Check the exact-phase + divisibility conditions for row sharding."""
     hin, win = in_size
@@ -122,6 +127,20 @@ def upscale_spatial_sharded(
         up = jnp.where(idx == 0, top_edge, up)
         down = jnp.where(idx == n - 1, bot_edge, down)
         padded = jnp.concatenate([up, block, down], axis=-2)
+
+        # On TPU, run the fused Pallas kernel per shard so multi-chip
+        # throughput scales the kernel-path number (the RCAS border clamp
+        # uses global row coordinates via row_offset, so edge shards stay
+        # bit-exact); the XLA path below serves CPU meshes and f16.
+        if _kernel_path(mesh) and fused.supported(
+            padded.shape, (hl_out + 2, wout), con_loc, dt
+        ):
+            out = fused.upscale_fused(
+                padded, (hl_out + 2, wout), con_loc, rcon,
+                apply_rcas=apply_rcas, denoise=denoise, compute_dtype=dt,
+                row_offset=idx * hl_out - 1, global_rows=hout,
+            )
+            return out[..., 1:-1, :]
 
         # EASU over local rows [-1, hl_out+1) (one output row of RCAS halo).
         easu_out = easu_ops.easu(

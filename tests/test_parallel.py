@@ -82,3 +82,19 @@ def test_spatial_plus_batch_mesh(rng):
     out = np.asarray(out)
     for i in range(4):
         np.testing.assert_allclose(out[i], _reference(imgs[i], out_hw), atol=1e-6)
+
+
+def test_spatial_sharded_kernel_path_interpret(rng, monkeypatch):
+    """Force the Pallas-kernel-per-shard route (interpret mode) on the CPU
+    mesh and check it matches the unsharded reference, including the
+    global-coordinate RCAS border clamps on the edge shards."""
+    from fsr_tpu.kernels import fused
+
+    monkeypatch.setattr(fused, "INTERPRET", True)
+    monkeypatch.setattr(spatial, "_kernel_path", lambda mesh: True)
+    mesh = sharding.make_mesh(4, ("sp",))
+    in_hw, out_hw = (64, 128), (128, 256)
+    img = rng.uniform(0, 1, (3, *in_hw)).astype(np.float32)
+    out = spatial.upscale_spatial_sharded(jnp.asarray(img), out_hw, mesh, axis="sp")
+    want = _reference(img, out_hw)
+    np.testing.assert_allclose(np.asarray(out), want, atol=5e-4)

@@ -133,6 +133,26 @@ def main() -> int:
     # 4. dispatch gating sanity
     assert dispatch.supported(jnp.zeros((4, 128, 256)), (256, 512), con4, jnp.float32)
 
+    # 5. Sharded execution routes through the Pallas kernel (sp=1 on the
+    # single local chip; the CPU-mesh tests cover n>1 with the XLA path,
+    # and dryrun_multichip covers n>1 compilation).
+    print("sharded kernel path (sp=1 on TPU):")
+    from fsr_tpu.parallel import sharding, spatial
+
+    mesh1 = sharding.make_mesh(1, ("sp",))
+    img = rng.uniform(0, 1, (3, 128, 256)).astype(np.float32)
+    con_s = EasuConstants.create((256, 128), None, (512, 256))
+    want_s = oracle(img, (256, 512), con_s, RcasConstants(0.25))
+    lowered = jax.jit(
+        lambda z: spatial.upscale_spatial_sharded(z, (256, 512), mesh1, axis="sp")
+    ).lower(jnp.asarray(img)).compile()
+    hlo = lowered.as_text()
+    kernel_taken = "tpu_custom_call" in hlo
+    print(f"  {'PASS' if kernel_taken else 'FAIL'} pallas kernel in sharded HLO")
+    if not kernel_taken:
+        failures.append("sharded kernel path")
+    check("sharded sp=1 vs oracle", lowered(jnp.asarray(img)), want_s, 2e-5)
+
     print("FAILURES:" if failures else "ALL PASS", failures or "")
     return 1 if failures else 0
 
