@@ -18,6 +18,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from fsr_tpu.core import transfer
 from fsr_tpu.core.constants import EasuConstants, RcasConstants
 from fsr_tpu.core.presets import PRESETS, Preset
 from fsr_tpu.ops import easu as easu_ops
@@ -102,27 +103,29 @@ def upscale(
                 f"(in={image.shape} out={out_hw} dtype={compute_dtype})"
             )
 
+    # Alpha handling is backend-independent: EASU defines no alpha semantics
+    # (the reference's passthrough flag applies to RCAS, ffx_fsr1.h:688-705),
+    # so alpha rides along bilinearly and is never sharpened — on both the
+    # kernel and the XLA path, so impl="auto" gives identical results.
+    alpha = None
+    rgb = image
+    if image.shape[-3] == 4:
+        alpha = easu_ops.bilinear(image[..., 3:4, :, :], out_hw, con)
+        rgb = image[..., :3, :, :]
+
     if use_pallas:
         from fsr_tpu.kernels import dispatch as kdispatch
 
-        alpha = None
-        rgb = image
-        if image.shape[-3] == 4:
-            # Kernels are RGB; alpha rides along bilinearly (EASU defines no
-            # alpha semantics — the reference's passthrough applies to RCAS,
-            # which we honor by not sharpening alpha either).
-            alpha = easu_ops.bilinear(image[..., 3:4, :, :], out_hw, con)
-            rgb = image[..., :3, :, :]
         out = kdispatch.upscale_fused(
             rgb, out_hw, con, rcon,
             apply_rcas=apply_rcas, denoise=denoise, compute_dtype=compute_dtype,
         )
-        if alpha is not None:
-            out = jnp.concatenate([out, alpha.astype(out.dtype)], axis=-3)
     else:
-        out = easu_ops.easu(image, out_hw, con, compute_dtype=compute_dtype)
+        out = easu_ops.easu(rgb, out_hw, con, compute_dtype=compute_dtype)
         if apply_rcas:
             out = rcas_ops.rcas(out, rcon, denoise=denoise, compute_dtype=compute_dtype)
+    if alpha is not None:
+        out = jnp.concatenate([out, alpha.astype(out.dtype)], axis=-3)
 
     if layout == "HWC":
         out = jnp.moveaxis(out, -3, -1)
@@ -136,11 +139,14 @@ def sharpen(
     compute_dtype=None,
     impl: str = "auto",
     layout: str = "CHW",
+    border: str = "clamp",
 ) -> jnp.ndarray:
     """Standalone RCAS sharpening (no scaling) — the reference supports RCAS
     as an independent pass (ffx_fsr1.h:602-608).
 
     image: (..., 3, H, W) or (..., 3+alpha, H, W); values in [0, 1].
+    border: "clamp" (edge replication) or "zero" (the sample's out-of-bounds
+    imageLoad behavior; darkens the 1-pixel border — kept for A/B parity).
     """
     if layout == "HWC":
         image = jnp.moveaxis(image, -1, -3)
@@ -163,10 +169,12 @@ def sharpen(
         from fsr_tpu.kernels import rcas_pallas
 
         out = rcas_pallas.rcas_fused(
-            image, rcon, denoise=denoise, compute_dtype=compute_dtype
+            image, rcon, denoise=denoise, compute_dtype=compute_dtype, border=border
         )
     else:
-        out = rcas_ops.rcas(image, rcon, denoise=denoise, compute_dtype=compute_dtype)
+        out = rcas_ops.rcas(
+            image, rcon, denoise=denoise, compute_dtype=compute_dtype, border=border
+        )
     if layout == "HWC":
         out = jnp.moveaxis(out, -3, -1)
     return out
@@ -175,10 +183,22 @@ def sharpen(
 class UpscalePipeline:
     """Full post-process chain, mirroring the sample's frame tail:
 
-    (optional SRTM for HDR) -> EASU -> RCAS -> (optional LFGA grain)
+    (optional SRTM for HDR) -> EASU -> RCAS -> (optional SRTM^-1 back to
+    HDR, or gamma2 -> linear output squaring) -> (optional LFGA grain)
     -> (optional TEPD dither to 8/10-bit gamma-2.0).
 
     Construct once with static configuration; `__call__` is jit-compatible.
+
+    hdr_srtm / hdr_out: the reference pairs the reversible tonemap with its
+    inverse around the filter chain for HDR inputs (ffx_fsr1.h:1039-1041);
+    hdr_out=True applies SRTM^-1 after sharpening so the pipeline returns
+    HDR values (requires hdr_srtm).
+    gamma2_out: square the output (gamma-2.0 -> linear), the sample's HDR
+    swapchain mode (Sample.x == 1, FSR_Pass.hlsl:78-79).
+    dither_texture: optional (pages, th, tw) dither texture page-indexed by
+    frame (the sample's temporal blue noise, FSR_Tonemapping.hlsl:86-88;
+    see fsr_tpu.utils.noise.temporal_blue_noise).  Default: the TEPD
+    golden-ratio ordered dither.
     """
 
     def __init__(
@@ -188,18 +208,32 @@ class UpscalePipeline:
         apply_rcas: bool = True,
         denoise: bool = False,
         hdr_srtm: bool = False,
+        hdr_out: bool = False,
+        gamma2_out: bool = False,
         grain_amount: float = 0.0,
         dither_bits: Optional[int] = None,
+        dither_texture=None,
         compute_dtype=jnp.float32,
         impl: str = "auto",
     ):
+        if hdr_out and not hdr_srtm:
+            raise ValueError("hdr_out=True requires hdr_srtm=True")
+        if hdr_out and gamma2_out:
+            raise ValueError("hdr_out and gamma2_out are exclusive output modes")
+        if hdr_out and dither_bits is not None:
+            raise ValueError("TEPD dithering expects {0..1} input, not HDR out")
         self.out_size = tuple(out_size)
         self.sharpness = sharpness
         self.apply_rcas = apply_rcas
         self.denoise = denoise
         self.hdr_srtm = hdr_srtm
+        self.hdr_out = hdr_out
+        self.gamma2_out = gamma2_out
         self.grain_amount = grain_amount
         self.dither_bits = dither_bits
+        self.dither_texture = (
+            jnp.asarray(dither_texture) if dither_texture is not None else None
+        )
         self.compute_dtype = compute_dtype
         self.impl = impl
 
@@ -216,9 +250,16 @@ class UpscalePipeline:
             compute_dtype=self.compute_dtype,
             impl=self.impl,
         )
+        if self.hdr_out:
+            x = extras.srtm_inv(x)
+        elif self.gamma2_out:
+            x = transfer.from_two(x)
         if self.grain_amount and grain is not None:
             x = extras.lfga(x, grain, self.grain_amount)
         if self.dither_bits is not None:
-            dit = extras.tepd_dither(self.out_size, frame)
+            if self.dither_texture is not None:
+                dit = extras.texture_dither(self.out_size, frame, self.dither_texture)
+            else:
+                dit = extras.tepd_dither(self.out_size, frame)
             x = extras.tepd_quantize(x.astype(jnp.float32), dit, bits=self.dither_bits)
         return x

@@ -196,13 +196,9 @@ def easu_resolve(
 
     lum = None
     if quad_g is None:
-        if stacked:
-            lum = {
-                k: (v[2] * c(0.5) + (v[0] * c(0.5) + v[1])).astype(ddt)
-                for k, v in taps.items()
-            }
-        else:
-            lum = {k: luma(v).astype(ddt) for k, v in taps.items()}
+        # luma() indexes per-channel planes and stacked (C, H, W) arrays the
+        # same way, and falls back to channel 0 when nch < 3 in both cases.
+        lum = {k: luma(v).astype(ddt) for k, v in taps.items()}
 
     one = cd(1.0)
     ppx_d = ppx.astype(ddt)

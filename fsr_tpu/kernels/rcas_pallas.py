@@ -36,15 +36,21 @@ def _pick_tiles(h: int, w: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("rcon", "denoise", "compute_dtype")
+    jax.jit, static_argnames=("rcon", "denoise", "compute_dtype", "border")
 )
 def rcas_fused(
     image: jnp.ndarray,
     rcon: RcasConstants,
     denoise: bool = False,
     compute_dtype=None,
+    border: str = "clamp",
 ) -> jnp.ndarray:
-    """RCAS sharpen on TPU.  image: (..., 3, H, W) in [0, 1]."""
+    """RCAS sharpen on TPU.  image: (..., 3, H, W) in [0, 1].
+
+    border: "clamp" (edge replication, default) or "zero" — the sample's
+    imageLoad reads zeros out of bounds, darkening the 1-pixel border
+    (see ops/rcas.py border note); "zero" reproduces that for A/B parity.
+    """
     batch_dims = image.shape[:-3]
     image = image.reshape((-1,) + image.shape[-3:])
     nb = image.shape[0]
@@ -100,10 +106,11 @@ def rcas_fused(
 
         grow = ty * th + jax.lax.broadcasted_iota(jnp.int32, (1,) + t3.shape[1:], 1)
         gcol = tx * tw + jax.lax.broadcasted_iota(jnp.int32, (1,) + t3.shape[1:], 2)
-        b = jnp.where(grow == 0, e, b)
-        hh = jnp.where(grow == h - 1, e, hh)
-        d = jnp.where(gcol == 0, e, d)
-        f = jnp.where(gcol == w - 1, e, f)
+        bv = e if border == "clamp" else jnp.zeros_like(e)
+        b = jnp.where(grow == 0, bv, b)
+        hh = jnp.where(grow == h - 1, bv, hh)
+        d = jnp.where(gcol == 0, bv, d)
+        f = jnp.where(gcol == w - 1, bv, f)
 
         res = easu_math.rcas_resolve(b, d, e, f, hh, sharp, denoise=denoise, fast=True)
         out_ref[0, :, :, :] = res[:, :th, :tw].astype(dt)

@@ -19,6 +19,7 @@ __all__ = [
     "srtm_inv",
     "lfga",
     "tepd_dither",
+    "texture_dither",
     "tepd_quantize",
 ]
 
@@ -71,6 +72,28 @@ def tepd_dither(shape, frame) -> jnp.ndarray:
     b = np.float32(1.0 / 3.69)
     v = x * a + (y * b)
     return v - jnp.floor(v)
+
+
+@functools.partial(jax.jit, static_argnames=("shape",))
+def texture_dither(shape, frame, texture: jnp.ndarray) -> jnp.ndarray:
+    """Dither positions from a user texture (the sample's temporal blue
+    noise: FSR_Tonemapping.hlsl:86-88 samples a 128x128x64 stack page-indexed
+    by frame; generate one with fsr_tpu.utils.noise.temporal_blue_noise).
+
+    shape: output (H, W); frame: temporal index (traced or static);
+    texture: (pages, th, tw) or (th, tw) with values in [0, 1).  The page is
+    selected by frame mod pages and tiled over the output.
+    """
+    h, w = shape
+    tex = jnp.asarray(texture)
+    if tex.ndim == 2:
+        tex = tex[None]
+    pages, th, tw = tex.shape
+    page = jax.lax.dynamic_index_in_dim(
+        tex, jnp.asarray(frame, jnp.int32) % pages, axis=0, keepdims=False
+    )
+    reps = (-(-h // th), -(-w // tw))
+    return jnp.tile(page, reps)[:h, :w]
 
 
 @functools.partial(jax.jit, static_argnames=("bits",))

@@ -82,9 +82,16 @@ def test_alpha_passthrough_xla(rng):
     img = _img(rng, 24, 36, c=4)
     out = np.asarray(fsr_tpu.upscale(jnp.asarray(img), scale=2.0, impl="xla"))
     assert out.shape == (4, 48, 72)
-    # RGB matches the 3-channel result... alpha is EASU-upscaled on the XLA
-    # path (4-channel taps) and never sharpened.
-    assert np.isfinite(out).all()
+    # RGB matches the 3-channel result; alpha is bilinear (same as the
+    # kernel path, so impl="auto" is backend-independent) and not sharpened.
+    want_rgb = np.asarray(fsr_tpu.upscale(jnp.asarray(img[:3]), scale=2.0, impl="xla"))
+    np.testing.assert_allclose(out[:3], want_rgb, atol=1e-6)
+    from fsr_tpu.core.constants import EasuConstants
+    from fsr_tpu.ops import easu as easu_ops
+
+    con = EasuConstants.create((36, 24), None, (72, 48))
+    want_a = np.asarray(easu_ops.bilinear(jnp.asarray(img[3:4]), (48, 72), con))
+    np.testing.assert_allclose(out[3:4], want_a, atol=1e-6)
 
 
 def test_bad_args(rng):

@@ -125,6 +125,14 @@ def test_rcas_kernel_isolated_pixel():
     np.testing.assert_allclose(got, want, atol=ATOL, rtol=0)
 
 
+def test_rcas_kernel_border_zero(rng):
+    img = rng.uniform(0.2, 1, (3, 40, 136)).astype(np.float32)
+    rcon = RcasConstants(0.25)
+    got = np.asarray(rcas_pallas.rcas_fused(jnp.asarray(img), rcon, border="zero"))
+    want = np.asarray(rcas_ops.rcas(jnp.asarray(img), rcon, border="zero"))
+    np.testing.assert_allclose(got, want, atol=ATOL, rtol=0)
+
+
 def test_rcas_kernel_denoise_batched(rng):
     imgs = rng.uniform(0, 1, (2, 3, 32, 140)).astype(np.float32)
     rcon = RcasConstants(0.5)

@@ -113,3 +113,96 @@ def test_pipeline_class(rng):
     assert out.shape == (3, 64, 96)
     lat = np.round(out * 255.0) / 255.0
     np.testing.assert_allclose(out, lat, atol=1e-6)
+
+
+def test_pipeline_hdr_out_roundtrip(rng):
+    """hdr_srtm + hdr_out pairs SRTM with SRTM^-1 (ffx_fsr1.h:1039-1041):
+    the pipeline returns HDR-range values, and matches doing it by hand."""
+    import fsr_tpu
+    from fsr_tpu.ops import extras
+
+    pipe = fsr_tpu.UpscalePipeline((64, 96), hdr_srtm=True, hdr_out=True, impl="xla")
+    hdr = jnp.asarray(rng.uniform(0, 10.0, (3, 32, 48)).astype(np.float32))
+    out = np.asarray(pipe(hdr))
+    want = np.asarray(
+        extras.srtm_inv(
+            fsr_tpu.upscale(extras.srtm(hdr), out_size=(64, 96), impl="xla")
+        )
+    )
+    np.testing.assert_allclose(out, want, atol=1e-6)
+    assert out.max() > 1.5  # actually back in HDR range
+
+
+def test_pipeline_gamma2_out(rng):
+    """gamma2_out squares the output (FSR_Pass.hlsl:78-79, Sample.x == 1)."""
+    import fsr_tpu
+
+    base = fsr_tpu.UpscalePipeline((64, 96), impl="xla")
+    sq = fsr_tpu.UpscalePipeline((64, 96), gamma2_out=True, impl="xla")
+    img = jnp.asarray(rng.uniform(0, 1, (3, 32, 48)).astype(np.float32))
+    a = np.asarray(base(img))
+    b = np.asarray(sq(img))
+    np.testing.assert_allclose(b, a * a, atol=1e-6)
+
+
+def test_pipeline_option_validation():
+    import fsr_tpu
+
+    with pytest.raises(ValueError):
+        fsr_tpu.UpscalePipeline((64, 96), hdr_out=True)  # needs hdr_srtm
+    with pytest.raises(ValueError):
+        fsr_tpu.UpscalePipeline((64, 96), hdr_srtm=True, hdr_out=True, gamma2_out=True)
+    with pytest.raises(ValueError):
+        fsr_tpu.UpscalePipeline((64, 96), hdr_srtm=True, hdr_out=True, dither_bits=8)
+
+
+def test_blue_noise_texture_dither(rng):
+    """Blue-noise generation + user-texture dithering in the pipeline."""
+    import fsr_tpu
+    from fsr_tpu.ops import extras
+    from fsr_tpu.utils import noise
+
+    tex = noise.temporal_blue_noise(pages=2, shape=(32, 32), seed=1)
+    assert tex.shape == (2, 32, 32)
+    # Complete threshold ramp: every rank appears exactly once per page.
+    for p in range(2):
+        assert len(np.unique(tex[p])) == 32 * 32
+        assert 0.0 <= tex[p].min() and tex[p].max() < 1.0
+    assert not np.array_equal(tex[0], tex[1])
+    # Blue noise is evenly spread: the darkest 1/16 of each page has no two
+    # samples adjacent (white noise almost surely would).
+    thr = np.sort(tex[0].ravel())[64]
+    pts = tex[0] < thr
+    clustered = (pts[:-1, :] & pts[1:, :]).sum() + (pts[:, :-1] & pts[:, 1:]).sum()
+    assert clustered == 0
+
+    # Page selection + tiling in texture_dither.
+    dit = np.asarray(extras.texture_dither((48, 70), 3, jnp.asarray(tex)))
+    assert dit.shape == (48, 70)
+    np.testing.assert_array_equal(dit[:32, :32], tex[1])   # frame 3 % 2 pages
+    np.testing.assert_array_equal(dit[32:, :32], tex[1][:16])
+
+    # End to end through the pipeline.
+    pipe = fsr_tpu.UpscalePipeline(
+        (64, 96), dither_bits=8, dither_texture=tex, impl="xla"
+    )
+    img = jnp.asarray(rng.uniform(0, 1, (3, 32, 48)).astype(np.float32))
+    out = np.asarray(pipe(img, frame=5))
+    lat = np.round(out * 255.0) / 255.0
+    np.testing.assert_allclose(out, lat, atol=1e-6)
+
+
+def test_sharpen_border_zero(rng):
+    """border='zero' reproduces the sample's out-of-bounds imageLoad zeros."""
+    import fsr_tpu
+    from fsr_tpu.core.constants import RcasConstants
+    from fsr_tpu.ops import rcas as rcas_ops
+
+    img = jnp.asarray(rng.uniform(0.2, 1, (3, 24, 36)).astype(np.float32))
+    out = np.asarray(fsr_tpu.sharpen(img, border="zero", impl="xla"))
+    want = np.asarray(rcas_ops.rcas(img, RcasConstants(0.25), border="zero"))
+    np.testing.assert_allclose(out, want, atol=1e-6)
+    # and it differs from clamp exactly on the border ring
+    clamp = np.asarray(fsr_tpu.sharpen(img, impl="xla"))
+    assert not np.allclose(out[:, 0, :], clamp[:, 0, :])
+    np.testing.assert_allclose(out[:, 2:-2, 2:-2], clamp[:, 2:-2, 2:-2], atol=1e-6)
