@@ -15,13 +15,22 @@ subpixel fraction.  Each phase's 12 EASU taps are then plain shifted slices
 of the VMEM-resident input tile — no gathers, pure VPU elementwise math
 (shared with the XLA path via fsr_tpu.core.easu_math).
 
-RCAS also runs in phase-planar space: its 5-tap cross maps to slices of the
-neighboring phase planes, so no interleaving happens before sharpening.  The
-final assembly interleaves both axes with a logarithmic butterfly riffle
-(roll+select stages) — Mosaic has no interleaving shape cast, and its
-strided stores are restricted to 128-wide memrefs, so the riffle is the
-vector-unit way to zip phases.  Batches of frames are a leading grid
-dimension.
+RCAS also runs in phase-planar space: its 5-tap cross maps to row-shifted
+sibling phases (rows keep a one-row in-plane halo) and, at tile seams, to
+columns exchanged through a one-tile software pipeline — grid step tx
+computes EASU for tile tx into a double-buffered VMEM plane stack and
+sharpens tile tx-1, whose left/right seam columns both exist by then.  The
+pipeline lets every resolve plane be exactly ti lanes wide (an aligned
+truncation of the rolled taps), instead of the extra vreg a lane halo would
+force on all the elementwise math.
+
+Final assembly: for bf16 output, two row phases pack into one int32 (TPU
+memory pairs consecutive bf16 rows in a 32-bit word), the column riffle
+runs on the packed planes at half width, and one in-kernel sublane bitcast
+splits the rows back out; for f32, both axes use the logarithmic butterfly
+riffle (roll+select stages) — Mosaic has no interleaving shape cast, and
+its strided stores are restricted to 128-wide memrefs.  Batches of frames
+are a leading grid dimension.
 
 Scope (v1): per-axis phase counts with unit source stride (p == 1): qy, qx in
 {1,2,4} — integer upscale factors per dim, incl. the benchmark
@@ -314,22 +323,39 @@ def upscale_fused(
         jnp.asarray(row_offset, jnp.int32).reshape(1) if dyn_off else None
     )
 
+    # RCAS runs behind a one-tile software pipeline over tile columns: grid
+    # step tx computes EASU for tile tx (phase planes, exactly ti lanes —
+    # the resolve math runs on 4 vregs instead of the 5 a lane halo would
+    # force) and sharpens tile tx-1, whose left/right column neighbors both
+    # exist by then (the left edge of tile tx-2 rides a one-vreg ring).
+    pipelined = apply_rcas
+    nsteps = nx + 1 if pipelined else nx
+    n_phases = qy * qx
+    n_out_refs = n_phases if assemble == "xla" else 1
+    rw = min(ti, 128)  # ring width (one vreg, or the whole plane if smaller)
+
     def kernel(*args):
+        i = 1
+        src_ref = args[0]
+        roff_ref = None
         if dyn_off:
-            src_ref, roff_ref = args[0], args[1]
-            refs = args[2:]
+            roff_ref = args[1]
+            i = 2
+        outs = args[i : i + n_out_refs]
+        scr = args[i + n_out_refs :]
+        if pipelined:
+            tile, pbuf, ring, fcol, sem = scr
         else:
-            src_ref = args[0]
-            refs = args[1:]
+            tile, sem = scr
         if assemble == "xla":
-            out_refs = refs[: qy * qx]  # one per phase (a, b), row-major
+            out_refs = outs  # one per phase (a, b), row-major
         else:
-            (out_ref,) = refs[:1]
-        tile, sem = refs[-2], refs[-1]
+            (out_ref,) = outs
         row_off = roff_ref[0] if dyn_off else 0
         bi = pl.program_id(0)
         ty = pl.program_id(1)
         tx = pl.program_id(2)
+        txc = jnp.minimum(tx, nx - 1) if pipelined else tx
         if ny == 1:
             row0 = 0
         else:
@@ -337,19 +363,14 @@ def upscale_fused(
         if nx == 1:
             col0 = 0
         else:
-            col0 = pl.multiple_of(tx * ti, 128)
-        dma = pltpu.make_async_copy(
-            src_ref.at[bi, :, pl.ds(row0, tih), pl.ds(col0, tiw)], tile, sem
-        )
-        dma.start()
-        dma.wait()
+            col0 = pl.multiple_of(txc * ti, 128)
 
-        # Tap extraction uses full-shape rolls, not slices: every operand
-        # keeps the vreg-aligned (tih, tiw) tile shape, so no masked-slice
-        # relayouts; wrapped rows/cols land beyond the used (tj+2, ti+2)
-        # window (the tile is padded by >= 2 beyond the deepest tap).
-        # Lane rolls (columns) are the expensive ones, so they happen first
-        # and CSE shares them across the taps that differ only in row shift.
+        # Tap extraction uses full-shape rolls on the (tih, tiw) tile (no
+        # masked-slice relayouts; wrapped rows/cols land beyond the deepest
+        # tap), then every tap is truncated to ti lanes — an aligned,
+        # vreg-dropping slice — so all resolve math runs on exactly the
+        # output width.  Lane rolls (columns) happen first and CSE shares
+        # them across the taps that differ only in row shift.
         def shift2(arr, dy, dx):
             # tpu.dynamic_rotate is 32-bit only; ride 16-bit data through f32
             # (the upcast is CSE-shared across all taps of the same array).
@@ -363,118 +384,80 @@ def upscale_fused(
                 r = pltpu.roll(r, (r.shape[ax - 2] - dy) % r.shape[ax - 2], axis=ax - 2)
             return r
 
-        # --- Per-texel precomputation, shared by all phases: luma*2 and the
-        # '+'-pattern direction/length response (ffx_fsr1.h:275-313 factored
-        # per texel; each phase then only bilinearly blends 4 copies of it).
-        tile3 = tile[:, :, :]  # (3, tih, tiw) stacked channels
-        lumt = (
-            tile3[2].astype(jnp.float32) * 0.5
-            + (tile3[0].astype(jnp.float32) * 0.5 + tile3[1].astype(jnp.float32))
-        )
-        # g index (m, n) = response at texel (m+1, n+1).
-        g_tex = easu_math.easu_texel_response(
-            shift2(lumt, 0, 1),  # a: texel (y-1, x)
-            shift2(lumt, 1, 0),  # b: texel (y, x-1)
-            shift2(lumt, 1, 1),  # c: center texel
-            shift2(lumt, 1, 2),  # d: texel (y, x+1)
-            shift2(lumt, 2, 1),  # e: texel (y+1, x)
-            fast=True,
-        )
+        def compute_planes():
+            """EASU phase planes for tile `txc`: planes[a][b] is (3, tih, ti)
+            f32; plane col i = output plane col, rows [0, tj+2) valid (the
+            one-row RCAS halo stays in-plane; rows are padded to tih by the
+            vreg tiling either way)."""
+            dma = pltpu.make_async_copy(
+                src_ref.at[bi, :, pl.ds(row0, tih), pl.ds(col0, tiw)], tile, sem
+            )
+            dma.start()
+            dma.wait()
 
-        # --- EASU per phase on full-tile-shaped planes; only the leading
-        # (tj+2, ti+2) window is meaningful (1px RCAS halo included).
-        ph, pw = tj + 2, ti + 2
-        # Quad center texel offsets relative to 'f' (f, g, j, k).
-        quad_off = {"s": (0, 0), "t": (0, 1), "u": (1, 0), "v": (1, 1)}
-        planes = []
-        for a in range(qy):
-            row = []
-            for b in range(qx):
-                taps = {
-                    name: shift2(
-                        tile3,
-                        (ry[a] - ry_min) + (dy + 1),
-                        (rx[b] - rx_min) + (dx + 1),
+            # Per-texel precomputation, shared by all phases: luma*2 and the
+            # '+'-pattern direction/length response (ffx_fsr1.h:275-313
+            # factored per texel; each phase bilinearly blends 4 copies).
+            tile3 = tile[:, :, :]  # (3, tih, tiw) stacked channels
+            lumt = (
+                tile3[2].astype(jnp.float32) * 0.5
+                + (tile3[0].astype(jnp.float32) * 0.5 + tile3[1].astype(jnp.float32))
+            )
+            # g index (m, n) = response at texel (m+1, n+1).
+            g_tex = easu_math.easu_texel_response(
+                shift2(lumt, 0, 1),  # a: texel (y-1, x)
+                shift2(lumt, 1, 0),  # b: texel (y, x-1)
+                shift2(lumt, 1, 1),  # c: center texel
+                shift2(lumt, 1, 2),  # d: texel (y, x+1)
+                shift2(lumt, 2, 1),  # e: texel (y+1, x)
+                fast=True,
+            )
+
+            # Quad center texel offsets relative to 'f' (f, g, j, k).
+            quad_off = {"s": (0, 0), "t": (0, 1), "u": (1, 0), "v": (1, 1)}
+            planes = []
+            for a in range(qy):
+                row = []
+                for b in range(qx):
+                    taps = {
+                        name: shift2(
+                            tile3,
+                            (ry[a] - ry_min) + (dy + 1),
+                            (rx[b] - rx_min) + (dx + 1) + 1,
+                        )[..., :ti]
+                        for name, (dx, dy) in easu_math.TAP_OFFSETS.items()
+                    }
+                    quad_g = {
+                        qk: tuple(
+                            shift2(
+                                comp, (ry[a] - ry_min) + qdy,
+                                (rx[b] - rx_min) + qdx + 1,
+                            )[..., :ti]
+                            for comp in g_tex
+                        )
+                        for qk, (qdy, qdx) in quad_off.items()
+                    }
+                    ppx = jnp.full((1, 1), px_phase[b], jnp.float32)
+                    ppy = jnp.full((1, 1), py_phase[a], jnp.float32)
+                    # Math is always f32 in-kernel (bf16 compute measured
+                    # slower AND less accurate — stage-boundary converts
+                    # dominate; see PLAN.md); compute_dtype controls storage.
+                    taps = {k: v.astype(jnp.float32) for k, v in taps.items()}
+                    res = easu_math.easu_resolve(
+                        taps, ppx, ppy, dtype=jnp.float32, dir_dtype=jnp.float32,
+                        fast=True, quad_g=quad_g,
                     )
-                    for name, (dx, dy) in easu_math.TAP_OFFSETS.items()
-                }
-                quad_g = {
-                    qk: tuple(
-                        shift2(comp, (ry[a] - ry_min) + qdy, (rx[b] - rx_min) + qdx)
-                        for comp in g_tex
-                    )
-                    for qk, (qdy, qdx) in quad_off.items()
-                }
-                ppx = jnp.full((1, 1), px_phase[b], jnp.float32)
-                ppy = jnp.full((1, 1), py_phase[a], jnp.float32)
-                # Math is always f32 in-kernel: the VPU runs 16-bit
-                # elementwise ops at f32 rate, so low-precision compute
-                # only adds converts; compute_dtype controls storage
-                # (tile DMA + output write) where the bandwidth is.
-                taps = {k: v.astype(jnp.float32) for k, v in taps.items()}
-                res = easu_math.easu_resolve(
-                    taps, ppx, ppy, dtype=jnp.float32, dir_dtype=jnp.float32,
-                    fast=True, quad_g=quad_g,
-                )
-                row.append(res)  # (3, tih, tiw) f32, valid on [0:ph, 0:pw]
-            planes.append(row)
+                    row.append(res)  # (3, tih, ti) f32, rows [0:tj+2] valid
+                planes.append(row)
+            return planes
 
-        # --- RCAS in phase-planar space: the 5-tap cross maps to slices of
-        # neighboring phase planes (one plane pixel = qy/qx output pixels).
-        def interior(p):
-            return p[:, 1 : 1 + tj, 1 : 1 + ti]
-
-        res_ab = [[None] * qx for _ in range(qy)]
-        for a in range(qy):
-            for b in range(qx):
-                e3 = interior(planes[a][b])
-                if apply_rcas:
-                    if a > 0:
-                        bt = interior(planes[a - 1][b])
-                    else:
-                        bt = planes[qy - 1][b][:, 0:tj, 1 : 1 + ti]
-                    if a < qy - 1:
-                        ht = interior(planes[a + 1][b])
-                    else:
-                        ht = planes[0][b][:, 2 : 2 + tj, 1 : 1 + ti]
-                    if b > 0:
-                        dtp = interior(planes[a][b - 1])
-                    else:
-                        dtp = planes[a][qx - 1][:, 1 : 1 + tj, 0:ti]
-                    if b < qx - 1:
-                        ftp = interior(planes[a][b + 1])
-                    else:
-                        ftp = planes[a][0][:, 1 : 1 + tj, 2 : 2 + ti]
-
-                    # Border clamp in *global output* coordinates so ragged
-                    # (masked) edge tiles are exact too.  RCAS compares are
-                    # not available for 16-bit vectors on all targets; run
-                    # the sharpening stage in f32 and round at the store.
-                    jrow = ty * tj + jax.lax.broadcasted_iota(jnp.int32, (1, tj, ti), 1)
-                    icol = tx * ti + jax.lax.broadcasted_iota(jnp.int32, (1, tj, ti), 2)
-                    grow = row_off + jrow * qy + a
-                    gcol = icol * qx + b
-
-                    e_t = e3
-                    bt = jnp.where(grow == 0, e_t, bt)
-                    ht = jnp.where(grow == global_rows - 1, e_t, ht)
-                    dtp = jnp.where(gcol == 0, e_t, dtp)
-                    ftp = jnp.where(gcol == wout - 1, e_t, ftp)
-                    res = easu_math.rcas_resolve(
-                        bt, dtp, e_t, ftp, ht, float(rcon.sharpness),
-                        denoise=denoise, fast=True
-                    )
-                    res_ab[a][b] = res
-                else:
-                    res_ab[a][b] = e3
-                if assemble == "xla":
-                    out_refs[a * qx + b][0, :, :, :] = res_ab[a][b].astype(dt)
-
-        if assemble != "xla":
+        def assemble_store(res_ab, out_tx):
+            if assemble == "xla":
+                return  # written where res_ab is produced
             if pack_bf16:
-                # --- Row phases pack into int32 (low16 = even row); the
-                # column riffle runs on the packed planes; the final sublane
-                # bitcast splits each int32 row into its two bf16 rows.
+                # Row phases pack into int32 (low16 = even row); the column
+                # riffle runs on the packed planes; the final sublane bitcast
+                # splits each int32 row into its two bf16 rows.
                 cols = []
                 for b in range(qx):
                     if qy == 2:
@@ -492,29 +475,151 @@ def upscale_fused(
                 out_rows = [_riffle(res_ab[a], axis=2) for a in range(qy)]
                 out_ref[0, :, :, :] = _riffle(out_rows, axis=1).astype(dt)
 
+        if not pipelined:
+            planes = compute_planes()
+            res_ab = [[planes[a][b][:, 1 : 1 + tj, :] for b in range(qx)]
+                      for a in range(qy)]
+            if assemble == "xla":
+                for a in range(qy):
+                    for b in range(qx):
+                        out_refs[a * qx + b][0, :, :, :] = res_ab[a][b].astype(dt)
+            else:
+                assemble_store(res_ab, tx)
+            return
+
+        slot = jax.lax.rem(tx, 2)
+        pslot = jax.lax.rem(tx + 1, 2)
+
+        # --- EASU for tile tx (skipped on the drain step tx == nx).
+        @pl.when(tx < nx)
+        def _():
+            planes = compute_planes()
+            stacked = jnp.stack(
+                [planes[a][b] for a in range(qy) for b in range(qx)]
+            )  # (P, 3, tih, ti)
+            pbuf[pl.ds(slot, 1)] = stacked[None]
+            # First column of each phase-(a, 0) plane, rolled to the vreg's
+            # last lane: the right-seam fix below reads only this, so the
+            # drain-step RCAS never needs the full current stack.
+            for a in range(qy):
+                fcol[a] = pltpu.roll(planes[a][0][:, :, :rw], rw - 1, axis=2)
+
+        # --- RCAS for tile tx - 1 in phase-planar space: row neighbors are
+        # row-shifted sibling phases (in-plane halo); column neighbors at the
+        # tile seams come from the ring (left) and this step's planes (right).
+        @pl.when(tx > 0)
+        def _():
+            prev_all = pbuf[pl.ds(pslot, 1)][0]  # (P, 3, tih, ti)
+
+            def prev(p):
+                return prev_all[p]
+
+            def rows(p, lo):  # rows [lo, lo+tj) of a (3, tih, ti) plane
+                return p[:, lo : lo + tj, :]
+
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, tj, ti), 2)
+            jrow = ty * tj + jax.lax.broadcasted_iota(jnp.int32, (1, tj, ti), 1)
+            icol = (tx - 1) * ti + lane
+            res_ab = [[None] * qx for _ in range(qy)]
+            for a in range(qy):
+                for b in range(qx):
+                    e_t = rows(prev(a * qx + b), 1)
+                    bt = (rows(prev((a - 1) * qx + b), 1) if a > 0
+                          else rows(prev((qy - 1) * qx + b), 0))
+                    ht = (rows(prev((a + 1) * qx + b), 1) if a < qy - 1
+                          else rows(prev(b), 2))
+                    if b > 0:
+                        dtp = rows(prev(a * qx + b - 1), 1)
+                    else:
+                        dtp = pltpu.roll(rows(prev(a * qx + qx - 1), 1), 1, axis=2)
+                        lc = ring[a]
+                        if ti > rw:
+                            # Concat at full rows (equal sublane offsets),
+                            # then row-slice — Mosaic rejects concatenating
+                            # operands with mismatched non-concat offsets.
+                            lc = jnp.concatenate(
+                                [lc, jnp.zeros((3, tih, ti - rw), jnp.float32)],
+                                axis=2,
+                            )
+                        lc = lc[:, 1 : 1 + tj, :]
+                        dtp = jnp.where(lane == 0, lc, dtp)
+                    if b < qx - 1:
+                        ftp = rows(prev(a * qx + b + 1), 1)
+                    else:
+                        ftp = pltpu.roll(rows(prev(a * qx), 1), ti - 1, axis=2)
+                        # Right seam: tile tx's phase (a, 0) first column,
+                        # from the fcol scratch (stale on the drain step —
+                        # that lane is clamped or write-masked below).
+                        fc = fcol[a]
+                        if ti > rw:
+                            fc = jnp.concatenate(
+                                [jnp.zeros((3, tih, ti - rw), jnp.float32), fc],
+                                axis=2,
+                            )
+                        ftp = jnp.where(lane == ti - 1, fc[:, 1 : 1 + tj, :], ftp)
+
+                    # Border clamp in *global output* coordinates so ragged
+                    # (masked) edge tiles are exact too.  RCAS compares are
+                    # not available for 16-bit vectors on all targets; the
+                    # sharpening stage runs f32 and rounds at the store.
+                    grow = row_off + jrow * qy + a
+                    gcol = icol * qx + b
+                    bt = jnp.where(grow == 0, e_t, bt)
+                    ht = jnp.where(grow == global_rows - 1, e_t, ht)
+                    dtp = jnp.where(gcol == 0, e_t, dtp)
+                    ftp = jnp.where(gcol == wout - 1, e_t, ftp)
+                    res = easu_math.rcas_resolve(
+                        bt, dtp, e_t, ftp, ht, float(rcon.sharpness),
+                        denoise=denoise, fast=True
+                    )
+                    res_ab[a][b] = res
+                    if assemble == "xla":
+                        out_refs[a * qx + b][0, :, :, :] = res.astype(dt)
+            assemble_store(res_ab, tx - 1)
+
+            # Ring update: tile tx-1's phase (a, qx-1) last column, consumed
+            # as the left seam at step tx+1.  Skipped at tx == 0 — step 1's
+            # left seam is the global column-0 clamp, so a stale ring is
+            # never read.
+            for a in range(qy):
+                ring[a] = pltpu.roll(prev(a * qx + qx - 1), 1, axis=2)[:, :, :rw]
+
     in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)]
     operands = (src,)
     if dyn_off:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
         operands = (src, roff_arr)
 
+    scratch_shapes = [pltpu.VMEM((3, tih, tiw), dt)]
+    if pipelined:
+        # The plane buffer holds EASU output awaiting its RCAS pass.  It
+        # stays f32: a bf16 buffer measured only ~0.5% faster and costs 27%
+        # median fidelity (RCAS input rounding).
+        scratch_shapes += [
+            pltpu.VMEM((2, n_phases, 3, tih, ti), jnp.float32),
+            pltpu.VMEM((qy, 3, tih, rw), jnp.float32),  # ring (left seams)
+            pltpu.VMEM((qy, 3, tih, rw), jnp.float32),  # fcol (right seams)
+        ]
+    scratch_shapes.append(pltpu.SemaphoreType.DMA(()))
+
+    if pipelined:
+        out_idx = lambda bi, ty, tx: (bi, 0, ty, jnp.maximum(tx - 1, 0))
+    else:
+        out_idx = lambda bi, ty, tx: (bi, 0, ty, tx)
+
     if assemble == "xla":
         phase_spec = pl.BlockSpec(
-            (1, 3, tj, ti), lambda bi, ty, tx: (bi, 0, ty, tx),
-            memory_space=pltpu.VMEM,
+            (1, 3, tj, ti), out_idx, memory_space=pltpu.VMEM,
         )
         outs = pl.pallas_call(
             kernel,
-            grid=(nb, ny, nx),
+            grid=(nb, ny, nsteps),
             in_specs=in_specs,
             out_specs=tuple(phase_spec for _ in range(qy * qx)),
             out_shape=tuple(
                 jax.ShapeDtypeStruct((nb, 3, hpl, wpl), dt) for _ in range(qy * qx)
             ),
-            scratch_shapes=[
-                pltpu.VMEM((3, tih, tiw), dt),
-                pltpu.SemaphoreType.DMA(()),
-            ],
+            scratch_shapes=scratch_shapes,
             interpret=INTERPRET,
         )(*operands)
         # Interleave phases in one fused transpose+reshape pass.
@@ -524,18 +629,13 @@ def upscale_fused(
 
     out = pl.pallas_call(
         kernel,
-        grid=(nb, ny, nx),
+        grid=(nb, ny, nsteps),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
-            (1, 3, qy * tj, qx * ti),
-            lambda bi, ty, tx: (bi, 0, ty, tx),
-            memory_space=pltpu.VMEM,
+            (1, 3, qy * tj, qx * ti), out_idx, memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((nb, 3, hout, wout), dt),
-        scratch_shapes=[
-            pltpu.VMEM((3, tih, tiw), dt),
-            pltpu.SemaphoreType.DMA(()),
-        ],
+        scratch_shapes=scratch_shapes,
         interpret=INTERPRET,
     )(*operands)
     return out.reshape(batch_dims + (3, hout, wout))
