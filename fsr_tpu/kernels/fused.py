@@ -113,18 +113,20 @@ def supported(in_shape, out_size, con: EasuConstants, compute_dtype) -> bool:
     if st is None:
         return False
     qy, qx = st[0], st[1]
-    return _pick_tiles(hout // qy, wout // qx, qy, qx) is not None
+    pack = jnp.dtype(compute_dtype) == jnp.bfloat16 and qy in (2, 4)
+    return _pick_tiles(hout // qy, wout // qx, qy, qx, pack=pack) is not None
 
 
-def _pick_tiles(hpl: int, wpl: int, qy: int, qx: int):
+def _pick_tiles(hpl: int, wpl: int, qy: int, qx: int, pack: bool = False):
     """Plane-space tile sizes (TJ rows, TI cols per phase), or None.
 
-    Tile extents must be powers of two (butterfly riffle), and the output
-    block (qy*tj, qx*ti) must satisfy Pallas's block rule: last dim
-    divisible by 128 (or equal to the full width), second-to-last divisible
-    by 8 (or equal to the full height).  Sizes tuned on-device (v5e):
-    large enough to amortize per-tile overhead, small enough that the
-    full-tile-shaped EASU live set fits VMEM.
+    Column extents must be powers of two (butterfly riffle); rows too on
+    the f32 path (row riffle), but the bf16 pack path (pack=True) has no
+    row riffle, so tj only needs the 8-row DMA/block granule — tj=40 was
+    the on-device sweep winner there (56 OOMs VMEM; 32 wastes 25% of the
+    row window).  The output block (qy*tj, qx*ti) must satisfy Pallas's
+    block rule: last dim divisible by 128 (or equal to the full width),
+    second-to-last divisible by 8 (or equal to the full height).
     """
 
     def pow2(v):
@@ -133,10 +135,19 @@ def _pick_tiles(hpl: int, wpl: int, qy: int, qx: int):
     ti = 512
     while ti > wpl and ti > 1:
         ti //= 2
-    tj = 32
-    while tj > hpl and tj > 1:
-        tj //= 2
-    if not (pow2(ti) and pow2(tj)):
+    if pack:
+        tj = 40
+        while tj > hpl and tj > 8:
+            tj -= 8
+        if tj > hpl:  # very short images: fall back to pow2 shrink
+            tj = 8
+            while tj > hpl and tj > 1:
+                tj //= 2
+    else:
+        tj = 32
+        while tj > hpl and tj > 1:
+            tj //= 2
+    if not (pow2(ti) and (pow2(tj) or pack)):
         return None
     wout, hout = qx * wpl, qy * hpl
     if (qx * ti) % 128 and qx * ti != wout:
@@ -275,17 +286,17 @@ def upscale_fused(
     qy, qx, ry, rx, py_phase, px_phase = st
 
     hpl, wpl = hout // qy, wout // qx  # phase-plane extent
-    tiles = _pick_tiles(hpl, wpl, qy, qx)
+    pack_bf16 = assemble == "kernel" and dt == jnp.bfloat16 and qy in (2, 4)
+    tiles = _pick_tiles(hpl, wpl, qy, qx, pack=pack_bf16)
     if tiles is None:
         raise ValueError("no valid tile plan for this size (use impl='xla')")
     tj, ti = tiles
     ny, nx = pl.cdiv(hpl, tj), pl.cdiv(wpl, ti)
-    # bf16 output: TPU memory pairs consecutive *rows* of a bf16 array in one
-    # 32-bit word, so packing two row phases per int32 (see _pack2_bf16) and
-    # an in-kernel sublane bitcast realize the row interleave for free; the
-    # column riffle then runs on the int32 planes — half the data of the f32
-    # riffle it replaces, and the log2-stage row riffle disappears entirely.
-    pack_bf16 = assemble == "kernel" and dt == jnp.bfloat16 and qy in (2, 4)
+    # pack_bf16 (set above): TPU memory pairs consecutive *rows* of a bf16
+    # array in one 32-bit word, so packing two row phases per int32 (see
+    # _pack2_bf16) and an in-kernel sublane bitcast realize the row
+    # interleave for free; the column riffle then runs on the int32 planes —
+    # half the data of the f32 riffle it replaces.
 
     # Input halo: plane rows jj in [-1, tj+1) (RCAS halo), each needing source
     # rows jj + r(a) + dy for dy in [-1, 2].
