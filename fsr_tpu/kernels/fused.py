@@ -163,13 +163,61 @@ def _pick_tiles(hpl: int, wpl: int, qy: int, qx: int, pack: bool = False):
     return tj, ti
 
 
+def _interleave_lanes(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Interleave two 32-bit planes along the lane (last) axis.
+
+    Hybrid of the butterfly riffle and tpu.dynamic_gather: coarse butterfly
+    stages (block size >= 64) place the right 64-lane halves of a and b into
+    each 128-lane vreg block, then one within-vreg gather per 128-lane slice
+    finishes the perfect shuffle.  Mosaic's dynamic_gather only lowers for
+    <=128-wide 2D operands, hence the per-slice split; it replaces the six
+    finest butterfly stages (measured ~19% of the whole fused kernel).
+    """
+    w = a.shape[-1]
+    if w & (w - 1):
+        raise ValueError(f"interleave needs a power-of-two extent, got {w}")
+    n = 2 * w
+    c = jnp.concatenate([a, b], axis=-1)
+    lead = c.shape[:-1]
+    rows = int(np.prod(lead))
+    if n <= 128:
+        l = jax.lax.broadcasted_iota(jnp.int32, (rows, n), 1)
+        idx = l // 2 + (l % 2) * w
+        return jnp.take_along_axis(c.reshape(-1, n), idx, axis=1).reshape(
+            lead + (n,)
+        )
+    mshape = (1,) * (c.ndim - 2) + c.shape[-2:]
+    iota = jax.lax.broadcasted_iota(jnp.int32, mshape, c.ndim - 1)
+    s = w // 2
+    while s >= 64:
+        seg = iota // s
+        c = jnp.where(
+            (seg % 4) == 1,
+            pltpu.roll(c, n - s, axis=c.ndim - 1),
+            jnp.where((seg % 4) == 2, pltpu.roll(c, s, axis=c.ndim - 1), c),
+        )
+        s //= 2
+    # Fine shuffle within each 128-lane block: a constant permutation.
+    c2 = c.reshape(-1, n)
+    l = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 1)
+    fidx = l // 2 + (l % 2) * 64
+    parts = [
+        jnp.take_along_axis(c2[:, k : k + 128], fidx, axis=1)
+        for k in range(0, n, 128)
+    ]
+    return jnp.concatenate(parts, axis=1).reshape(lead + (n,))
+
+
 def _riffle2(a: jnp.ndarray, b: jnp.ndarray, axis: int) -> jnp.ndarray:
     """Interleave two arrays along `axis`: r[2k]=a[k], r[2k+1]=b[k].
 
     Butterfly of log2(W) block-swap stages over concat([a, b]); each stage is
     two rolls and a double select — the vector-unit substitute for the
-    interleaving shape cast Mosaic does not support.
+    interleaving shape cast Mosaic does not support.  The last (lane) axis
+    of 32-bit data routes through _interleave_lanes instead.
     """
+    if axis % a.ndim == a.ndim - 1 and jnp.dtype(a.dtype).itemsize == 4:
+        return _interleave_lanes(a, b)
     axis = axis % a.ndim
     w = a.shape[axis]
     if w & (w - 1):
@@ -229,10 +277,17 @@ def _pack2_bf16(lo: jnp.ndarray, hi: jnp.ndarray) -> jnp.ndarray:
 
     Lane i holds (bf16(lo[i]), bf16(hi[i])) as one little-endian int32, so a
     bitcast of the packed buffer to bf16 *is* the column interleave: out
-    col 2i = lo[i], col 2i+1 = hi[i].  Replaces the log2(W)-stage butterfly
-    riffle on the bf16 path with ~6 integer ops per output pixel.
+    col 2i = lo[i], col 2i+1 = hi[i].  On hardware this is one native pack
+    instruction (pltpu.pack_elementwise, verified bit-identical to the
+    integer RNE below); interpret mode keeps the explicit bit math.
     """
-    return jnp.bitwise_or(_bf16_bits(lo), jax.lax.shift_left(_bf16_bits(hi), 16))
+    if INTERPRET:
+        return jnp.bitwise_or(
+            _bf16_bits(lo), jax.lax.shift_left(_bf16_bits(hi), 16)
+        )
+    return jax.lax.bitcast_convert_type(
+        pltpu.pack_elementwise((lo, hi), packed_dtype=jnp.bfloat16), jnp.int32
+    )
 
 
 @functools.partial(
@@ -409,11 +464,11 @@ def upscale_fused(
             # Per-texel precomputation, shared by all phases: luma*2 and the
             # '+'-pattern direction/length response (ffx_fsr1.h:275-313
             # factored per texel; each phase bilinearly blends 4 copies).
-            tile3 = tile[:, :, :]  # (3, tih, tiw) stacked channels
-            lumt = (
-                tile3[2].astype(jnp.float32) * 0.5
-                + (tile3[0].astype(jnp.float32) * 0.5 + tile3[1].astype(jnp.float32))
-            )
+            # The tile is upcast to f32 once: every later tap shift and the
+            # resolve run f32 (bf16-storage taps would otherwise pay a
+            # down+up convert round trip per rolled tap plane).
+            tile3 = tile[:, :, :].astype(jnp.float32)  # (3, tih, tiw) stacked
+            lumt = tile3[2] * 0.5 + (tile3[0] * 0.5 + tile3[1])
             # g index (m, n) = response at texel (m+1, n+1).
             g_tex = easu_math.easu_texel_response(
                 shift2(lumt, 0, 1),  # a: texel (y-1, x)
@@ -453,7 +508,6 @@ def upscale_fused(
                     # Math is always f32 in-kernel (bf16 compute measured
                     # slower AND less accurate — stage-boundary converts
                     # dominate; see PLAN.md); compute_dtype controls storage.
-                    taps = {k: v.astype(jnp.float32) for k, v in taps.items()}
                     res = easu_math.easu_resolve(
                         taps, ppx, ppy, dtype=jnp.float32, dir_dtype=jnp.float32,
                         fast=True, quad_g=quad_g,
