@@ -1,20 +1,27 @@
-"""General-ratio EASU(+RCAS) Pallas kernel: tap gathers as one-hot MXU matmuls.
+"""General-ratio EASU(+RCAS) Pallas kernel: static tap gathers.
 
 The fused phase-decomposed kernel (kernels/fused.py) requires the
 output->input mapping to advance one source texel per qx outputs (integer
 ratios).  The quality presets 1.3x/1.5x/1.7x have no such structure: each
-output tile needs a genuine gather of its 12 taps.  TPUs have no vector
-gather — but the gather indices are *static* (the coordinate mapping is
-fixed at trace time), so tap extraction becomes two small matmuls with
-precomputed one-hot selection matrices, riding the MXU instead of fighting
-the VPU:
+output tile needs a genuine gather of its 12 taps.  TPUs have no global
+vector gather — but the gather indices are *static* (the coordinate mapping
+is fixed at trace time), which two mechanisms exploit:
 
-    tap[dy,dx] = R_dy @ (tile @ St_dx)
-
-where St (per tile column) selects source columns fx(i)+dx and R (per tile
-row) selects source rows fy(j)+dy; the dy/dx variants are rolls of one base
-one-hot matrix.  One-hot selection through the MXU is exact (each output
-element is one product by 1.0).
+- **Columns** (the default, any upscale >= ~1.04x): for each 128-lane
+  output block, the tap span ceil(128/scale)+4 fits one vreg, so tap
+  columns are one dynamic roll of the tile (aligning the block's first tap
+  to lane 0) plus a within-vreg tpu.dynamic_gather with host-precomputed
+  indices; the dx in {-1..2} variants just add k to the index vector.
+  Measured ~1.9x cheaper than the one-hot matmuls below, and exact for
+  every dtype (no bf16 operand splitting needed).
+- **Rows** (always) and columns near 1x: one-hot selection matmuls on the
+  MXU, tap[dy,dx] = R_dy @ (tile @ St_dx), where St (per tile column)
+  selects source columns fx(i)+dx and R (per tile row) selects source rows
+  fy(j)+dy; the dy/dx variants are rolls of one base one-hot matrix.
+  One-hot selection through the MXU is exact (each output element is one
+  product by 1.0); f32 data is split into three bf16 terms with exact sum
+  so selection stays bit-exact at bf16 matmul rate.  (Mosaic's
+  dynamic_gather is lane-axis/128-wide only, so rows cannot ride it.)
 
 RCAS fuses into the same kernel (the reference runs EASU+RCAS back to back
 for every quality preset, FSR_Filter.cpp:119-133) with a one-tile software
@@ -178,11 +185,36 @@ def easu_gather(
     R = np.zeros((ny, tj_e, tih), np.float32)
     for t in range(ny):
         R[t, np.arange(tj_e), lfy[t] - 1] = 1.0
-    St = np.zeros((nx, tiw, ti), np.float32)
-    for t in range(nx):
-        St[t, lfx[t] - 1, np.arange(ti)] = 1.0
     R = jnp.asarray(R, jnp.bfloat16)
-    St = jnp.asarray(St, jnp.bfloat16)
+
+    # Column path selection: per 128-lane output block, tap columns are a
+    # dynamic roll (block's earliest tap -> lane 0) + a within-vreg gather;
+    # falls back to one-hot matmuls when a block's tap span exceeds a vreg
+    # (upscale ratios under ~1.04x) or in interpret mode (the interpreter
+    # rejects dynamic roll shifts).
+    nblk = ti // 128
+    cbase = np.zeros((nx, nblk), np.int32)
+    cgidx = np.zeros((nx, 8, ti), np.int32)
+    col_gather = ti % 128 == 0 and not INTERPRET
+    for t in range(nx):
+        for w in range(nblk):
+            lo = int(lfx[t, 128 * w]) - 1
+            hi = int(lfx[t, min(128 * w + 127, ti - 1)]) + 2
+            if hi - lo + 1 > 128:
+                col_gather = False
+            cbase[t, w] = lo
+            cgidx[t, :, 128 * w:128 * (w + 1)] = (
+                lfx[t, 128 * w:128 * (w + 1)] - 1 - lo)[None, :]
+    cbase_flat = jnp.asarray(cbase.reshape(-1))
+    cgidx_arr = jnp.asarray(cgidx)
+
+    if col_gather:
+        St = None
+    else:
+        St_np = np.zeros((nx, tiw, ti), np.float32)
+        for t in range(nx):
+            St_np[t, lfx[t] - 1, np.arange(ti)] = 1.0
+        St = jnp.asarray(St_np, jnp.bfloat16)
 
     # Host-exact subpixel fractions, padded to the tile grid and shaped for
     # aligned (8, 128) blocks.  Row fractions carry the same clamped halo as
@@ -198,8 +230,12 @@ def easu_gather(
 
     sharp = float(rcon.sharpness) if rcon is not None else 0.0
 
-    def kernel(rs_ref, cs_ref, src_ref, r_ref, st_ref, ppx_ref, ppy_ref,
-               out_ref, *scratch):
+    def kernel(rs_ref, cs_ref, cb_ref, src_ref, r_ref, *rest):
+        if col_gather:
+            ppx_ref, ppy_ref, ci_ref, out_ref, *scratch = rest
+            st_ref = None
+        else:
+            st_ref, ppx_ref, ppy_ref, out_ref, *scratch = rest
         if apply_rcas:
             tile, e_prev, e_cur, lastcol, sem = scratch
         else:
@@ -251,7 +287,6 @@ def easu_gather(
             )
 
             r0 = r_ref[0]    # (tj_e, tih): selects source row lfy - 1
-            st0 = st_ref[0]  # (tiw, ti): selects source col lfx - 1
 
             def bf16_dot(a, b):
                 return jnp.dot(
@@ -284,16 +319,41 @@ def easu_gather(
                     return bf16_dot(onehot, data)
 
             # Selector variants: index k selects (lf + k - 1).
-            st_k = {k: rshift(st0, k, 0) for k in range(4)}
             r_k = {k: rshift(r0, k, 1) for k in range(4)}
 
-            # Column gather: cg[k][ch] = tile_ch selected at col lfx + k - 1.
-            cg = {k: [sel_cols(tile3[ch], st_k[k]) for ch in range(3)]
-                  for k in range(4)}
-            # g gather columns: the g grid is offset by -1 from texels, so
-            # selecting g col (lfx + qdx - 1) uses selector k = qdx.
-            cgg = {qdx: [sel_cols(comp, st_k[qdx]) for comp in g_tex]
-                   for qdx in (0, 1)}
+            # Column taps: cg[k][ch] = tile_ch at col lfx + k - 1; the g
+            # grid is offset by -1 from texels, so g col (lfx + qdx - 1)
+            # uses the same index vector with k = qdx.
+            if col_gather:
+                tile3f = tile3.astype(jnp.float32)
+                srcs = [tile3f[0], tile3f[1], tile3f[2]] + list(g_tex)
+                outs = [[[] for _ in range(4)] for _ in srcs]
+                for w in range(nblk):
+                    shift = cb_ref[txc * nblk + w]
+                    bidx = jnp.broadcast_to(
+                        ci_ref[0, 0:1, 128 * w:128 * (w + 1)], (tih, 128))
+                    for si, p in enumerate(srcs):
+                        winp = pltpu.roll(
+                            p, (tiw - shift) % tiw, axis=1)[:, :128]
+                        for k in range(4) if si < 3 else range(2):
+                            outs[si][k].append(
+                                jnp.take_along_axis(winp, bidx + k, axis=1))
+
+                def cat(si, k):
+                    if nblk == 1:
+                        return outs[si][k][0]
+                    return jnp.concatenate(outs[si][k], axis=1)
+
+                cg = {k: [cat(ch, k) for ch in range(3)] for k in range(4)}
+                cgg = {qdx: [cat(3 + c, qdx) for c in range(3)]
+                       for qdx in (0, 1)}
+            else:
+                st0 = st_ref[0]  # (tiw, ti): selects source col lfx - 1
+                st_k = {k: rshift(st0, k, 0) for k in range(4)}
+                cg = {k: [sel_cols(tile3[ch], st_k[k]) for ch in range(3)]
+                      for k in range(4)}
+                cgg = {qdx: [sel_cols(comp, st_k[qdx]) for comp in g_tex]
+                       for qdx in (0, 1)}
 
             taps = {}
             for name, (dx, dy) in easu_math.TAP_OFFSETS.items():
@@ -379,18 +439,29 @@ def easu_gather(
         ]
         out_index = lambda bi, ty, tx, *_: (bi, 0, ty, tx)
 
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.ANY),  # src
+        pl.BlockSpec((1, tj_e, tih), lambda bi, ty, tx, *_: (ty, 0, 0)),
+    ]
+    operands = [src, R]
+    if not col_gather:
+        in_specs.append(pl.BlockSpec(
+            (1, tiw, ti), lambda bi, ty, tx, *_: (jnp.minimum(tx, nx - 1), 0, 0)))
+        operands.append(St)
+    in_specs += [
+        pl.BlockSpec((8, ti),
+                     lambda bi, ty, tx, *_: (0, jnp.minimum(tx, nx - 1))),
+        pl.BlockSpec((tj_e, 128), lambda bi, ty, tx, *_: (ty, 0)),
+    ]
+    operands += [ppx_arr, ppy_arr]
+    if col_gather:
+        in_specs.append(pl.BlockSpec(
+            (1, 8, ti), lambda bi, ty, tx, *_: (jnp.minimum(tx, nx - 1), 0, 0)))
+        operands.append(cgidx_arr)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(nb, ny, nsteps),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # src
-            pl.BlockSpec((1, tj_e, tih), lambda bi, ty, tx, *_: (ty, 0, 0)),
-            pl.BlockSpec((1, tiw, ti),
-                         lambda bi, ty, tx, *_: (jnp.minimum(tx, nx - 1), 0, 0)),
-            pl.BlockSpec((8, ti),
-                         lambda bi, ty, tx, *_: (0, jnp.minimum(tx, nx - 1))),
-            pl.BlockSpec((tj_e, 128), lambda bi, ty, tx, *_: (ty, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 3, tj, ti), out_index),
         scratch_shapes=scratch_shapes,
     )
@@ -399,5 +470,5 @@ def easu_gather(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nb, 3, hout, wout), dt),
         interpret=INTERPRET,
-    )(jnp.asarray(row_starts), jnp.asarray(col_starts), src, R, St, ppx_arr, ppy_arr)
+    )(jnp.asarray(row_starts), jnp.asarray(col_starts), cbase_flat, *operands)
     return out.reshape(batch_dims + (3, hout, wout))
