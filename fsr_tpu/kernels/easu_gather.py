@@ -55,6 +55,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from fsr_tpu.core import easu_math
 from fsr_tpu.core.constants import EasuConstants, RcasConstants
+from fsr_tpu.kernels.pad import edge_pad
 from fsr_tpu.ops.easu import easu_coords
 
 INTERPRET = False
@@ -168,11 +169,7 @@ def easu_gather(
     pad_bottom = max(0, int(row_starts.max()) + tih - (hin + pad_top))
     pad_right = max(0, int(col_starts.max()) + tiw - (win + pad_left))
 
-    src = jnp.pad(
-        image.astype(dt),
-        ((0, 0), (0, 0), (pad_top, pad_bottom), (pad_left, pad_right)),
-        mode="edge",
-    )
+    src = edge_pad(image, (pad_top, pad_bottom, pad_left, pad_right), dt)
 
     # Base one-hot selectors at shift -1 (the earliest tap); other shifts
     # are in-kernel rolls.  R[t, j, r] = 1 iff r == lfy[t, j] - 1;

@@ -50,6 +50,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from fsr_tpu.core import easu_math
 from fsr_tpu.core.constants import EasuConstants, RcasConstants
+from fsr_tpu.kernels.pad import edge_pad
 from fsr_tpu.ops.easu import easu_coords
 
 # Flipped to True by tests to run the kernel in interpreter mode on CPU.
@@ -373,12 +374,17 @@ def upscale_fused(
     pad_bottom = max(0, (ny - 1) * tj + tih - (hin - crop_top + pad_top))
     pad_right = max(0, (nx - 1) * ti + tiw - (win - crop_left + pad_left))
 
-    src = image.astype(dt)[..., crop_top:, crop_left:]
-    src = jnp.pad(
-        src,
-        ((0, 0), (0, 0), (pad_top, pad_bottom), (pad_left, pad_right)),
-        mode="edge",
-    )
+    if crop_top or crop_left:
+        src = image.astype(dt)[..., crop_top:, crop_left:]
+        src = jnp.pad(
+            src,
+            ((0, 0), (0, 0), (pad_top, pad_bottom), (pad_left, pad_right)),
+            mode="edge",
+        )
+    else:
+        # Single-pass fused convert+pad kernel (falls back to jnp.pad off
+        # TPU or for unsupported shapes).
+        src = edge_pad(image, (pad_top, pad_bottom, pad_left, pad_right), dt)
 
     if assemble not in ("kernel", "xla"):
         raise ValueError(f"assemble must be 'kernel' or 'xla', got {assemble!r}")
