@@ -315,9 +315,13 @@ def easu_resolve(
         # Tap distance as a quadratic form (kernels only, ~1-2 ulp
         # reassociation): with v = M @ off for the rotation/anisotropy
         # matrix M, d2 = |v|^2 = qa*off_x^2 + qb*off_x*off_y + qc*off_y^2.
-        # qa/qb/qc are per-pixel (computed once); each tap then needs one
-        # off_x*off_y product plus three FMAs instead of the six-op
-        # rotate-and-square, saving 2-3 VPU ops per tap.
+        # qa/qb/qc are per-pixel (computed once).  The quadratic is further
+        # factored per tap row/column group: with A_dy = off_y*qb,
+        # B_dy = off_y^2*qc, C_dx = off_x^2*qa precomputed for the four
+        # distinct dy and dx values, each tap needs just two full-shape ops
+        # (d2 = C_dx + fma(off_x, A_dy, B_dy)) — which matters when ppx/ppy
+        # are per-lane/per-row arrays (the general-ratio kernel); with
+        # constant phases everything folds either way.
         lx2 = len2_x * len2_x
         ly2 = len2_y * len2_y
         xx = dirx * dirx
@@ -326,6 +330,11 @@ def easu_resolve(
         qa = xx * lx2 + yy * ly2
         qb = (xy + xy) * (lx2 - ly2)
         qc = yy * lx2 + xx * ly2
+        off_xs = {dx: c(float(dx)) - ppx for dx in {d for d, _ in TAP_OFFSETS.values()}}
+        off_ys = {dy: c(float(dy)) - ppy for dy in {d for _, d in TAP_OFFSETS.values()}}
+        a_dy = {dy: oy * qb for dy, oy in off_ys.items()}
+        b_dy = {dy: (oy * oy) * qc for dy, oy in off_ys.items()}
+        c_dx = {dx: (ox * ox) * qa for dx, ox in off_xs.items()}
 
     def accumulate_taps(names):
         if stacked:
@@ -338,10 +347,7 @@ def easu_resolve(
             off_x = c(float(dx)) - ppx
             off_y = c(float(dy)) - ppy
             if fast:
-                sxx = off_x * off_x
-                sxy = off_x * off_y
-                syy = off_y * off_y
-                d2 = sxx * qa + (sxy * qb + syy * qc)
+                d2 = c_dx[dx] + (off_x * a_dy[dy] + b_dy[dy])
             else:
                 vx = (off_x * dirx + off_y * diry) * len2_x
                 vy = (off_x * (-diry) + off_y * dirx) * len2_y
