@@ -5,9 +5,19 @@ output->input mapping to advance one source texel per qx outputs (integer
 ratios).  The quality presets 1.3x/1.5x/1.7x have no such structure: each
 output tile needs a genuine gather of its 12 taps.  TPUs have no global
 vector gather — but the gather indices are *static* (the coordinate mapping
-is fixed at trace time), which two mechanisms exploit:
+is fixed at trace time), which three mechanisms exploit:
 
-- **Columns** (the default, any upscale >= ~1.04x): for each 128-lane
+- **Hybrid X-phase** (rational column mappings, e.g. the Quality 1.5x
+  preset advances exactly 2 source texels per 3 outputs): the tile (and
+  the per-texel g responses) are deinterleaved by the source stride with
+  within-vreg gathers, after which every phase's tap columns are static
+  rolls of a parity plane — no per-tap selection work at all.  Each phase
+  resolves against its own (drifting, per-lane) host-exact fraction array
+  and the phase planes re-interleave with one gather per output vreg.
+  Detected from the ground-truth coordinates (integer part exactly
+  linear); requires plane width ti == 128*qx.  Measured 1.86 -> 1.53 ms
+  for the 1.5x->4K preset.
+- **Columns** (general ratios >= ~1.04x): for each 128-lane
   output block, the tap span ceil(128/scale)+4 fits one vreg, so tap
   columns are one dynamic roll of the tile (aligning the block's first tap
   to lane 0) plus a within-vreg tpu.dynamic_gather with host-precomputed
@@ -124,6 +134,36 @@ def _axis_plan(f: np.ndarray, n_out: int, tile: int, pad_lead: int, align: int,
     return starts, local, window
 
 
+def _detect_x_phase(fxv: np.ndarray, wout: int):
+    """Exact rational X-phase structure of the *integer* source mapping:
+    fx(qx*j + b) == stride*j + rx[b].  Checked against the ground-truth
+    coordinate array, never assumed.  The subpixel fractions drift by a
+    few ulps across the image (f32 coordinate math), so they stay per-lane
+    arrays — only the tap geometry needs the exact rational structure.
+    Returns (qx, stride, rx[]) or None."""
+    for qx in (2, 3, 4, 5):
+        stride = None
+        rx, ok = [], True
+        for b in range(qx):
+            sel_f = fxv[b::qx].astype(np.int64)
+            if len(sel_f) < 2:
+                ok = False
+                break
+            d = np.diff(sel_f)
+            if not np.all(d == d[0]):
+                ok = False
+                break
+            if stride is None:
+                stride = int(d[0])
+            elif int(d[0]) != stride:
+                ok = False
+                break
+            rx.append(int(sel_f[0]))
+        if ok and stride is not None and stride >= 1:
+            return qx, stride, rx
+    return None
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("out_size", "con", "rcon", "apply_rcas", "denoise",
@@ -154,6 +194,18 @@ def easu_gather(
     hin, win = image.shape[-2:]
     fx, fy, px, py = easu_coords(con, out_size)
     tj, ti = _pick_tiles(hout, wout, apply_rcas=apply_rcas)
+    # Hybrid X-phase mode: when the X mapping is exactly rational (stride
+    # source texels per qx outputs — e.g. the Quality 1.5x preset is
+    # stride 2 / qx 3), column taps become rolls of stride-deinterleaved
+    # planes with a constant subpixel fraction per phase, and only rows
+    # need selection matmuls.  Requires ti == 128*qx so each phase plane
+    # is exactly one vreg block wide.
+    xp = _detect_x_phase(fx, wout)
+    if xp is not None and wout >= 128 * xp[0]:
+        qx_h, stride_h = xp[0], xp[1]
+        ti = 128 * qx_h
+    else:
+        xp = None
     ny, nx = pl.cdiv(hout, tj), pl.cdiv(wout, ti)
     rhalo = 1 if apply_rcas else 0
     # Extended rows: one RCAS halo row each side, rounded up to the sublane
@@ -166,6 +218,18 @@ def easu_gather(
     row_starts, lfy, tih = _axis_plan(fy, hout, tj, pad_top, 8,
                                       lead=rhalo, ext=tj_e)
     col_starts, lfx, tiw = _axis_plan(fx, wout, ti, pad_left, 128)
+
+    if xp is not None:
+        # Window-relative plane-col-0 tap base per phase; must be
+        # tile-invariant (linear coordinates + linear window starts).
+        lfx0 = [int(lfx[0, b]) for b in range(qx_h)]
+        for t in range(nx):
+            for b in range(qx_h):
+                if t * ti + b < wout and int(lfx[t, b]) != lfx0[b]:
+                    xp = None
+        if xp is not None:
+            m0max = (max(lfx0) + 2) // stride_h + 1
+            tiw = max(tiw, -(-(stride_h * (128 + m0max) + stride_h) // 128) * 128)
     pad_bottom = max(0, int(row_starts.max()) + tih - (hin + pad_top))
     pad_right = max(0, int(col_starts.max()) + tiw - (win + pad_left))
 
@@ -192,7 +256,7 @@ def easu_gather(
     nblk = ti // 128
     cbase = np.zeros((nx, nblk), np.int32)
     cgidx = np.zeros((nx, 8, ti), np.int32)
-    col_gather = ti % 128 == 0 and not INTERPRET
+    col_gather = ti % 128 == 0 and not INTERPRET and xp is None
     for t in range(nx):
         for w in range(nblk):
             lo = int(lfx[t, 128 * w]) - 1
@@ -205,7 +269,7 @@ def easu_gather(
     cbase_flat = jnp.asarray(cbase.reshape(-1))
     cgidx_arr = jnp.asarray(cgidx)
 
-    if col_gather:
+    if col_gather or xp is not None:
         St = None
     else:
         St_np = np.zeros((nx, tiw, ti), np.float32)
@@ -215,9 +279,17 @@ def easu_gather(
 
     # Host-exact subpixel fractions, padded to the tile grid and shaped for
     # aligned (8, 128) blocks.  Row fractions carry the same clamped halo as
-    # the row selectors, so a duplicated edge row is bit-identical.
+    # the row selectors, so a duplicated edge row is bit-identical.  The
+    # hybrid mode stores them phase-planar: [t, :, 128*b + j] holds the
+    # fraction of output column t*ti + qx*j + b.
     ppx_arr = np.zeros((8, nx * ti), np.float32)
-    ppx_arr[:, :wout] = px[None, :]
+    if xp is not None:
+        for t in range(nx):
+            for b in range(qx_h):
+                idx = np.clip(t * ti + qx_h * np.arange(128) + b, 0, wout - 1)
+                ppx_arr[:, t * ti + 128 * b:t * ti + 128 * (b + 1)] = px[idx][None, :]
+    else:
+        ppx_arr[:, :wout] = px[None, :]
     ppy_arr = np.zeros((ny * tj_e, 128), np.float32)
     for t in range(ny):
         idx = np.clip(np.arange(t * tj - rhalo, t * tj - rhalo + tj_e), 0, hout - 1)
@@ -228,9 +300,11 @@ def easu_gather(
     sharp = float(rcon.sharpness) if rcon is not None else 0.0
 
     def kernel(rs_ref, cs_ref, cb_ref, src_ref, r_ref, *rest):
+        st_ref = ci_ref = None
         if col_gather:
             ppx_ref, ppy_ref, ci_ref, out_ref, *scratch = rest
-            st_ref = None
+        elif xp is not None:
+            ppx_ref, ppy_ref, out_ref, *scratch = rest
         else:
             st_ref, ppx_ref, ppy_ref, out_ref, *scratch = rest
         if apply_rcas:
@@ -317,6 +391,82 @@ def easu_gather(
 
             # Selector variants: index k selects (lf + k - 1).
             r_k = {k: rshift(r0, k, 1) for k in range(4)}
+
+            if xp is not None:
+                # Hybrid X-phase path: deinterleave the tile (and the
+                # per-texel g responses) by the source stride, then every
+                # phase's tap columns are static rolls of a parity plane.
+                tile3f = tile3.astype(jnp.float32)
+                srcs = [tile3f[0], tile3f[1], tile3f[2]] + list(g_tex)
+                dw = 128 * ((128 + m0max + 127) // 128)
+                nbd = dw // 128
+                lane = jax.lax.broadcasted_iota(jnp.int32, (tih, 128), 1)
+                # D[si][p][:, m] = srcs[si][:, stride*m + p]
+                D = []
+                for p_src in srcs:
+                    dpar = []
+                    for par in range(stride_h):
+                        blocks = []
+                        for w in range(nbd):
+                            acc = None
+                            for sblk in range(stride_h):
+                                v = stride_h * w + sblk
+                                if 128 * v >= tiw:
+                                    continue
+                                idx = stride_h * lane + (
+                                    par + 128 * (stride_h * w) - 128 * v)
+                                gath = jnp.take_along_axis(
+                                    p_src[:, 128 * v:128 * (v + 1)],
+                                    jnp.clip(idx, 0, 127), axis=1)
+                                m = jnp.logical_and(idx >= 0, idx < 128)
+                                acc = gath if acc is None else jnp.where(m, gath, acc)
+                            blocks.append(acc)
+                        dpar.append(blocks[0] if nbd == 1
+                                    else jnp.concatenate(blocks, axis=1))
+                    D.append(dpar)
+
+                def colplane(si, ws):
+                    # srcs[si] at window col stride*m + ws for plane col m.
+                    return lshift(D[si][ws % stride_h], ws // stride_h, 1)[:, :128]
+
+                quad_off = {"s": (0, 0), "t": (0, 1), "u": (1, 0), "v": (1, 1)}
+                res_phases = []
+                for b in range(qx_h):
+                    taps = {}
+                    for name, (dx, dy) in easu_math.TAP_OFFSETS.items():
+                        ws = lfx0[b] + dx
+                        taps[name] = jnp.stack(
+                            [sel_rows(r_k[dy + 1], colplane(ch, ws))
+                             for ch in range(3)], axis=0)
+                    quad_g = {
+                        qk: tuple(
+                            sel_rows(r_k[qdy], colplane(3 + c, lfx0[b] + qdx - 1))
+                            for c in range(3))
+                        for qk, (qdy, qdx) in quad_off.items()
+                    }
+                    ppx_b = ppx_ref[0:1, 128 * b:128 * (b + 1)]
+                    ppy = ppy_ref[:, 0:1]
+                    res_phases.append(easu_math.easu_resolve(
+                        taps, ppx_b, ppy, dtype=jnp.float32,
+                        dir_dtype=jnp.float32, fast=True, quad_g=quad_g,
+                    ))
+                # Interleave the qx phase planes along lanes: per output
+                # 128-block one within-vreg gather per phase + selects.
+                flat = [r.reshape(3 * tj_e, 128) for r in res_phases]
+                lane2 = jax.lax.broadcasted_iota(
+                    jnp.int32, (3 * tj_e, 128), 1)
+                blocks = []
+                for w in range(ti // 128):
+                    glob = lane2 + 128 * w
+                    idx = glob // qx_h
+                    ph = glob - qx_h * idx
+                    acc = jnp.take_along_axis(flat[0], idx, axis=1)
+                    for b in range(1, qx_h):
+                        acc = jnp.where(
+                            ph == b, jnp.take_along_axis(flat[b], idx, axis=1),
+                            acc)
+                    blocks.append(acc)
+                return jnp.concatenate(blocks, axis=1).reshape(3, tj_e, ti)
 
             # Column taps: cg[k][ch] = tile_ch at col lfx + k - 1; the g
             # grid is offset by -1 from texels, so g col (lfx + qdx - 1)
@@ -441,7 +591,7 @@ def easu_gather(
         pl.BlockSpec((1, tj_e, tih), lambda bi, ty, tx, *_: (ty, 0, 0)),
     ]
     operands = [src, R]
-    if not col_gather:
+    if St is not None:
         in_specs.append(pl.BlockSpec(
             (1, tiw, ti), lambda bi, ty, tx, *_: (jnp.minimum(tx, nx - 1), 0, 0)))
         operands.append(St)

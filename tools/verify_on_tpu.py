@@ -106,7 +106,25 @@ def main() -> int:
     check("fused-gather denoise f32", got_d,
           oracle(img_p, (oh, ow), con_p, rcon, denoise=True), 4e-5)
 
-    # 2b. Regression: integer-fraction columns (the FMA/floor desync size).
+    # 2b. Hybrid X-phase path (rational column mapping: 1.5x = 3 phases of
+    # stride 2; 2.5x = 5 phases of stride 2), incl. a ragged-width config.
+    print("hybrid X-phase gather kernel:")
+    from fsr_tpu.ops.easu import easu_coords as _coords
+    for label, ih, iw, oh, ow in (
+        ("quality_1.5x_720p", 720, 1280, 1080, 1920),
+        ("x2.5", 216, 384, 540, 960),
+        ("ragged_1.5x", 360, 854, 540, 1281),
+    ):
+        con_h = EasuConstants.create((iw, ih), None, (ow, oh))
+        det = easu_gather._detect_x_phase(_coords(con_h, (oh, ow))[0], ow)
+        img_h = rng.uniform(0, 1, (3, ih, iw)).astype(np.float32)
+        want_h = oracle(img_h, (oh, ow), con_h, rcon)
+        got_h = easu_gather.easu_gather(
+            jnp.asarray(img_h), (oh, ow), con_h, rcon=rcon, apply_rcas=True)
+        check(f"{label} (phase={det and (det[0], det[1])}) f32",
+              got_h, want_h, 4e-5)
+
+    # 2c. Regression: integer-fraction columns (the FMA/floor desync size).
     print("gather kernel (irregular 1.266x with frac==0 columns):")
     in_hw, out_hw = (58, 165), (73, 209)
     con = EasuConstants.create((165, 58), None, (209, 73))
