@@ -396,12 +396,19 @@ def upscale_fused(
     )
 
     # RCAS runs behind a one-tile software pipeline over tile columns: grid
-    # step tx computes EASU for tile tx (phase planes, exactly ti lanes —
+    # step s computes EASU for tile s (phase planes, exactly ti lanes —
     # the resolve math runs on 4 vregs instead of the 5 a lane halo would
-    # force) and sharpens tile tx-1, whose left/right column neighbors both
-    # exist by then (the left edge of tile tx-2 rides a one-vreg ring).
+    # force) and sharpens tile s-1, whose left/right column neighbors both
+    # exist by then (the left edge of tile s-2 rides a one-vreg ring).
+    # The pipeline runs FLAT over the whole row-major (ty, tx) tile
+    # sequence — one drain step per frame, not per tile row.  At a row
+    # transition the seam columns exchanged between tiles (ty-1, nx-1) and
+    # (ty, 0) are bogus, but those lanes are exactly the image's right/left
+    # edge (or ragged masked lanes), which the global-coordinate border
+    # clamps overwrite anyway.
     pipelined = apply_rcas
-    nsteps = nx + 1 if pipelined else nx
+    ntiles = ny * nx
+    nsteps = ntiles + 1 if pipelined else nx
     n_phases = qy * qx
     n_out_refs = n_phases if assemble == "xla" else 1
     rw = min(ti, 128)  # ring width (one vreg, or the whole plane if smaller)
@@ -425,9 +432,18 @@ def upscale_fused(
             (out_ref,) = outs
         row_off = roff_ref[0] if dyn_off else 0
         bi = pl.program_id(0)
-        ty = pl.program_id(1)
-        tx = pl.program_id(2)
-        txc = jnp.minimum(tx, nx - 1) if pipelined else tx
+        if pipelined:
+            # Flat step index: EASU tile tE = (tyE, txE), RCAS tile
+            # tP = (tyP, txP) = tE - 1 in row-major order.
+            sstep = pl.program_id(2)
+            t_e = jnp.minimum(sstep, ntiles - 1)
+            ty, tx = t_e // nx, t_e % nx  # EASU tile (names kept for DMA)
+            t_p = jnp.maximum(sstep - 1, 0)
+            typ, txp = t_p // nx, t_p % nx
+        else:
+            ty = pl.program_id(1)
+            tx = pl.program_id(2)
+            sstep = tx
         if ny == 1:
             row0 = 0
         else:
@@ -435,7 +451,7 @@ def upscale_fused(
         if nx == 1:
             col0 = 0
         else:
-            col0 = pl.multiple_of(txc * ti, 128)
+            col0 = pl.multiple_of(tx * ti, 128)
 
         # Tap extraction uses full-shape rolls on the (tih, tiw) tile (no
         # masked-slice relayouts; wrapped rows/cols land beyond the deepest
@@ -558,11 +574,11 @@ def upscale_fused(
                 assemble_store(res_ab, tx)
             return
 
-        slot = jax.lax.rem(tx, 2)
-        pslot = jax.lax.rem(tx + 1, 2)
+        slot = jax.lax.rem(sstep, 2)
+        pslot = jax.lax.rem(sstep + 1, 2)
 
-        # --- EASU for tile tx (skipped on the drain step tx == nx).
-        @pl.when(tx < nx)
+        # --- EASU for tile tE (skipped on the drain step).
+        @pl.when(sstep < ntiles)
         def _():
             planes = compute_planes()
             stacked = jnp.stack(
@@ -575,10 +591,10 @@ def upscale_fused(
             for a in range(qy):
                 fcol[a] = pltpu.roll(planes[a][0][:, :, :rw], rw - 1, axis=2)
 
-        # --- RCAS for tile tx - 1 in phase-planar space: row neighbors are
+        # --- RCAS for tile tP in phase-planar space: row neighbors are
         # row-shifted sibling phases (in-plane halo); column neighbors at the
         # tile seams come from the ring (left) and this step's planes (right).
-        @pl.when(tx > 0)
+        @pl.when(sstep > 0)
         def _():
             prev_all = pbuf[pl.ds(pslot, 1)][0]  # (P, 3, tih, ti)
 
@@ -589,8 +605,8 @@ def upscale_fused(
                 return p[:, lo : lo + tj, :]
 
             lane = jax.lax.broadcasted_iota(jnp.int32, (1, tj, ti), 2)
-            jrow = ty * tj + jax.lax.broadcasted_iota(jnp.int32, (1, tj, ti), 1)
-            icol = (tx - 1) * ti + lane
+            jrow = typ * tj + jax.lax.broadcasted_iota(jnp.int32, (1, tj, ti), 1)
+            icol = txp * ti + lane
             res_ab = [[None] * qx for _ in range(qy)]
             for a in range(qy):
                 for b in range(qx):
@@ -646,12 +662,13 @@ def upscale_fused(
                     res_ab[a][b] = res
                     if assemble == "xla":
                         out_refs[a * qx + b][0, :, :, :] = res.astype(dt)
-            assemble_store(res_ab, tx - 1)
+            assemble_store(res_ab, sstep - 1)
 
-            # Ring update: tile tx-1's phase (a, qx-1) last column, consumed
-            # as the left seam at step tx+1.  Skipped at tx == 0 — step 1's
-            # left seam is the global column-0 clamp, so a stale ring is
-            # never read.
+            # Ring update: tile tP's phase (a, qx-1) last column, consumed
+            # as the left seam at the next step.  Skipped at step 0 — step
+            # 1's left seam is the global column-0 clamp (or the ragged
+            # right edge at a row transition), so a stale ring is never
+            # read.
             for a in range(qy):
                 ring[a] = pltpu.roll(prev(a * qx + qx - 1), 1, axis=2)[:, :, :rw]
 
@@ -674,7 +691,9 @@ def upscale_fused(
     scratch_shapes.append(pltpu.SemaphoreType.DMA(()))
 
     if pipelined:
-        out_idx = lambda bi, ty, tx: (bi, 0, ty, jnp.maximum(tx - 1, 0))
+        def out_idx(bi, ty, sstep):
+            t_p = jnp.maximum(sstep - 1, 0)
+            return (bi, 0, t_p // nx, t_p % nx)
     else:
         out_idx = lambda bi, ty, tx: (bi, 0, ty, tx)
 
@@ -684,7 +703,7 @@ def upscale_fused(
         )
         outs = pl.pallas_call(
             kernel,
-            grid=(nb, ny, nsteps),
+            grid=(nb, 1, nsteps) if pipelined else (nb, ny, nsteps),
             in_specs=in_specs,
             out_specs=tuple(phase_spec for _ in range(qy * qx)),
             out_shape=tuple(
@@ -700,7 +719,7 @@ def upscale_fused(
 
     out = pl.pallas_call(
         kernel,
-        grid=(nb, ny, nsteps),
+        grid=(nb, 1, nsteps) if pipelined else (nb, ny, nsteps),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (1, 3, qy * tj, qx * ti), out_idx, memory_space=pltpu.VMEM,
