@@ -67,7 +67,9 @@ def main():
     # Secondary configs: the non-integer quality presets (one-hot MXU
     # gather kernel + RCAS kernel), reported as extra keys.
     presets = {}
-    for pname, in_p in (("quality_1.5x", (1440, 2560)), ("balanced_1.7x", (1270, 2259))):
+    for pname, in_p in (("ultra_quality_1.3x", (1661, 2953)),
+                        ("quality_1.5x", (1440, 2560)),
+                        ("balanced_1.7x", (1270, 2259))):
         con_p = EasuConstants.create((in_p[1], in_p[0]), None, (out_hw[1], out_hw[0]))
         xp = jnp.asarray(
             np.random.default_rng(1).uniform(0, 1, (3, *in_p)).astype(np.float32)
@@ -97,10 +99,10 @@ def main():
     except Exception as e:  # pragma: no cover
         print(f"bench config1 failed: {e}", file=sys.stderr)
 
-    # Config 4: full pipeline (SRTM + EASU+RCAS + LFGA + TEPD), batch 16 @ 4K.
+    # Config 4: full pipeline (SRTM -> EASU+RCAS -> LFGA -> TEPD 10-bit),
+    # batch 16 @ 4K, with the grain/dither/transform epilogue fused into
+    # the kernel writeback (UpscalePipeline wires this automatically).
     try:
-        from fsr_tpu.ops import extras as xtr
-
         b = 16
         xb = jnp.asarray(
             np.random.default_rng(3).uniform(0, 4.0, (b, 3, hin, win)).astype(np.float32)
@@ -108,17 +110,13 @@ def main():
         grain = jnp.asarray(
             np.random.default_rng(4).uniform(-0.5, 0.5, (3, *out_hw)).astype(np.float32)
         )
-
-        @jax.jit
-        def pipe(z):
-            z = xtr.srtm(z)
-            up = fused.upscale_fused(z, out_hw, con, rcon, compute_dtype=jnp.bfloat16)
-            up = xtr.lfga(up.astype(jnp.float32), grain, 0.25)
-            dit = xtr.tepd_dither(out_hw, 0)
-            return xtr.tepd_quantize(up, dit, bits=10)
-
+        pipe = api.UpscalePipeline(
+            out_hw, hdr_srtm=True, grain_amount=0.25, dither_bits=10,
+            compute_dtype=jnp.float32,
+        )
         extras["pipeline_batch16_4k_ms_per_frame"] = round(
-            device_ms(lambda: pipe(xb)) / b, 3
+            device_ms(lambda: pipe(xb, grain=grain, frame=0).block_until_ready()) / b,
+            3,
         )
     except Exception as e:  # pragma: no cover
         print(f"bench config4 failed: {e}", file=sys.stderr)

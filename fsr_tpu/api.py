@@ -18,7 +18,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from fsr_tpu.core import transfer
+
 from fsr_tpu.core.constants import EasuConstants, RcasConstants
 from fsr_tpu.core.presets import PRESETS, Preset
 from fsr_tpu.ops import easu as easu_ops
@@ -47,6 +47,25 @@ def _resolve_out_size(
     return (round(in_size[0] * scale), round(in_size[1] * scale))
 
 
+def _apply_epilogue_xla(out, epi, frame, grain):
+    """XLA-path twin of the kernels' fused epilogue (same f32 math, same
+    approximation choices — see kernels/epilogue.py)."""
+    dt = out.dtype
+    x = out.astype(jnp.float32)
+    if epi.transform == "srtm_inv":
+        x = extras.srtm_inv(x)
+    elif epi.transform == "gamma2":
+        x = x * x
+    if epi.needs_grain:
+        if grain is None:
+            raise ValueError("epilogue.grain_amount != 0 requires grain")
+        x = extras.lfga(x, jnp.asarray(grain, jnp.float32), epi.grain_amount)
+    if epi.dither_bits is not None:
+        dit = extras.tepd_dither(x.shape[-2:], 0 if frame is None else frame)
+        x = extras.tepd_quantize(x, dit, bits=epi.dither_bits)
+    return x.astype(dt)
+
+
 def upscale(
     image: jnp.ndarray,
     out_size: Optional[Tuple[int, int]] = None,
@@ -60,6 +79,11 @@ def upscale(
     layout: str = "CHW",
     input_viewport: Optional[Tuple[int, int]] = None,
     input_offset: Tuple[int, int] = (0, 0),
+    epilogue=None,
+    frame=None,
+    grain=None,
+    grain_planar=None,
+    prologue: str = "none",
 ) -> jnp.ndarray:
     """FSR 1.0 upscale: EASU + optional RCAS.
 
@@ -75,6 +99,18 @@ def upscale(
     input_viewport / input_offset: Dynamic Resolution Scaling support — the
       viewport (h, w) actually rendered inside the container image, and its
       offset (FsrEasuConOffset, ffx_fsr1.h:205-225).
+    epilogue: optional fsr_tpu.kernels.epilogue.Epilogue of output post-ops
+      (SRTM^-1 / gamma2 transform, LFGA grain, TEPD dithered quantize).
+      On the kernel path these fuse into the writeback (no extra HBM
+      passes); on the XLA path the same ops run via fsr_tpu.ops.extras, so
+      results are backend-consistent.  `frame` is the TEPD temporal index;
+      `grain` is (3, Hout, Wout) in {-0.5..0.5}; `grain_planar` optionally
+      supplies the pre-phase-planarized grain for the 2x kernel (see
+      fused.planarize_grain — UpscalePipeline caches this for you).
+      Epilogue ops apply to RGB only (alpha rides along untouched).
+    prologue: "none" | "srtm" — SRTM reversible tonemap applied to the
+      (RGB) input before EASU, fused into the kernel's tile load on the
+      kernel path.
     """
     if layout == "HWC":
         image = jnp.moveaxis(image, -1, -3)
@@ -113,17 +149,27 @@ def upscale(
         alpha = easu_ops.bilinear(image[..., 3:4, :, :], out_hw, con)
         rgb = image[..., :3, :, :]
 
+    if epilogue is not None and epilogue.is_noop:
+        epilogue = None
     if use_pallas:
         from fsr_tpu.kernels import dispatch as kdispatch
 
         out = kdispatch.upscale_fused(
             rgb, out_hw, con, rcon,
             apply_rcas=apply_rcas, denoise=denoise, compute_dtype=compute_dtype,
+            epilogue=epilogue, frame=frame, grain=grain,
+            grain_planar=grain_planar, prologue=prologue,
         )
     else:
+        if prologue == "srtm":
+            rgb = extras.srtm(rgb)
+        elif prologue != "none":
+            raise ValueError(f"unknown prologue {prologue!r}")
         out = easu_ops.easu(rgb, out_hw, con, compute_dtype=compute_dtype)
         if apply_rcas:
             out = rcas_ops.rcas(out, rcon, denoise=denoise, compute_dtype=compute_dtype)
+        if epilogue is not None:
+            out = _apply_epilogue_xla(out, epilogue, frame, grain)
     if alpha is not None:
         out = jnp.concatenate([out, alpha.astype(out.dtype)], axis=-3)
 
@@ -236,11 +282,60 @@ class UpscalePipeline:
         )
         self.compute_dtype = compute_dtype
         self.impl = impl
+        self._grain_cache = None
+
+    def _planar_grain(self, grain, in_hw):
+        """Phase-planar grain for the 2x kernel, cached per (grain, size).
+
+        The planarize transpose costs a full-frame pass, so it runs once
+        per grain texture (keyed on object identity — reuse the same array
+        across frames).  Returns None when the fused kernel's phase
+        structure doesn't apply (the gather kernel takes plain grain) or
+        when `grain` is a tracer (jitted per-frame grain: pass
+        grain_planar to upscale() yourself to avoid the per-call cost).
+        """
+        from fsr_tpu.kernels import fused
+
+        try:
+            is_tracer = isinstance(grain, jax.core.Tracer)
+        except AttributeError:  # pragma: no cover - jax.core moved
+            is_tracer = False
+        key = (id(grain), tuple(in_hw))
+        if not is_tracer and self._grain_cache is not None \
+                and self._grain_cache[0] == key:
+            return self._grain_cache[1]
+        con = EasuConstants.create(
+            (in_hw[1], in_hw[0]), None, (self.out_size[1], self.out_size[0])
+        )
+        try:
+            gp = fused.planarize_grain(grain, self.out_size, con)
+        except ValueError:
+            gp = None
+        if not is_tracer:
+            self._grain_cache = (key, gp)
+        return gp
 
     def __call__(self, image, grain=None, frame=0):
+        from fsr_tpu.kernels.epilogue import Epilogue
+
         x = image
-        if self.hdr_srtm:
-            x = extras.srtm(x)
+        use_grain = bool(self.grain_amount) and grain is not None
+        # TEPD codes are k/255 or k/1023 levels: 16-bit storage cannot hold
+        # the 10-bit codes near white, so the dither fuses into the kernel
+        # only when the output dtype is f32; the texture-dither variant
+        # (modular page lookup) stays an XLA pass either way.
+        fuse_dither = (
+            self.dither_bits is not None
+            and self.dither_texture is None
+            and jnp.dtype(self.compute_dtype) == jnp.float32
+        )
+        epi = Epilogue(
+            transform=("srtm_inv" if self.hdr_out
+                       else "gamma2" if self.gamma2_out else "none"),
+            grain_amount=self.grain_amount if use_grain else 0.0,
+            dither_bits=self.dither_bits if fuse_dither else None,
+        )
+        gp = self._planar_grain(grain, x.shape[-2:]) if use_grain else None
         x = upscale(
             x,
             out_size=self.out_size,
@@ -249,14 +344,13 @@ class UpscalePipeline:
             denoise=self.denoise,
             compute_dtype=self.compute_dtype,
             impl=self.impl,
+            epilogue=None if epi.is_noop else epi,
+            frame=frame,
+            grain=grain if use_grain else None,
+            grain_planar=gp,
+            prologue="srtm" if self.hdr_srtm else "none",
         )
-        if self.hdr_out:
-            x = extras.srtm_inv(x)
-        elif self.gamma2_out:
-            x = transfer.from_two(x)
-        if self.grain_amount and grain is not None:
-            x = extras.lfga(x, grain, self.grain_amount)
-        if self.dither_bits is not None:
+        if self.dither_bits is not None and not fuse_dither:
             if self.dither_texture is not None:
                 dit = extras.texture_dither(self.out_size, frame, self.dither_texture)
             else:

@@ -43,18 +43,37 @@ def upscale_fused(
     apply_rcas: bool,
     denoise: bool,
     compute_dtype,
+    epilogue=None,
+    frame=None,
+    grain=None,
+    grain_planar=None,
+    prologue: str = "none",
 ):
+    """Dispatch to the right fused kernel.
+
+    epilogue / frame / grain: optional fused output post-ops
+    (kernels/epilogue.py); `grain` is plain output-space (3, Hout, Wout).
+    The phase-decomposed 2x kernel wants grain phase-planar: pass
+    `grain_planar` (fused.planarize_grain — cache it, the transpose costs
+    a full-frame pass) or it is derived from `grain` inline.
+    """
     from fsr_tpu.kernels import easu_gather, fused
 
     if fused.supported(image.shape, out_size, con, compute_dtype):
         # Integer-ratio phase structure: single fused EASU+RCAS kernel.
+        gp = grain_planar
+        if gp is None and grain is not None:
+            gp = fused.planarize_grain(grain, out_size, con)
         return fused.upscale_fused(
             image, out_size, con, rcon,
             apply_rcas=apply_rcas, denoise=denoise, compute_dtype=compute_dtype,
+            epilogue=epilogue, frame=frame, grain_planar=gp,
+            prologue=prologue,
         )
     # Arbitrary ratio: one-hot MXU gather EASU with RCAS fused via the
     # one-tile software pipeline (no intermediate HBM round trip).
     return easu_gather.easu_gather(
         image, out_size, con, rcon=rcon, apply_rcas=apply_rcas,
         denoise=denoise, compute_dtype=compute_dtype,
+        epilogue=epilogue, frame=frame, grain=grain, prologue=prologue,
     )

@@ -63,8 +63,9 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from fsr_tpu.core import easu_math
+from fsr_tpu.core import approx, easu_math
 from fsr_tpu.core.constants import EasuConstants, RcasConstants
+from fsr_tpu.kernels import epilogue as epilogue_mod
 from fsr_tpu.kernels.pad import edge_pad
 from fsr_tpu.ops.easu import easu_coords
 
@@ -167,7 +168,7 @@ def _detect_x_phase(fxv: np.ndarray, wout: int):
 @functools.partial(
     jax.jit,
     static_argnames=("out_size", "con", "rcon", "apply_rcas", "denoise",
-                     "compute_dtype"),
+                     "compute_dtype", "epilogue", "prologue"),
 )
 def easu_gather(
     image: jnp.ndarray,
@@ -177,14 +178,27 @@ def easu_gather(
     apply_rcas: bool = False,
     denoise: bool = False,
     compute_dtype=jnp.float32,
+    epilogue: epilogue_mod.Epilogue = None,
+    frame=None,
+    grain=None,
+    prologue: str = "none",
 ) -> jnp.ndarray:
     """EASU upscale (optionally + fused RCAS) for arbitrary ratios.
 
     image: (..., 3, Hin, Win).  With apply_rcas=True, `rcon` is required and
     the output is the sharpened upscale (FsrEasuF then FsrRcasF semantics).
+
+    epilogue / frame / grain: optional fused output epilogue (SRTM^-1 or
+    gamma2 transform, LFGA grain, TEPD dithered quantize) applied in VMEM
+    before writeback (kernels/epilogue.py).  Unlike the phase-decomposed
+    kernel, `grain` is plain output-space (3, Hout, Wout).
+    prologue: "none" | "srtm" — SRTM tonemap applied to the input tile in
+    VMEM before EASU (FsrSrtmF, ffx_fsr1.h:1043).
     """
     if apply_rcas and rcon is None:
         raise ValueError("apply_rcas=True requires rcon")
+    if prologue not in ("none", "srtm"):
+        raise ValueError(f"unknown prologue {prologue!r}")
     batch_dims = image.shape[:-3]
     image = image.reshape((-1,) + image.shape[-3:])
     nb = image.shape[0]
@@ -299,18 +313,58 @@ def easu_gather(
 
     sharp = float(rcon.sharpness) if rcon is not None else 0.0
 
+    epi = epilogue
+    if epi is not None and epi.is_noop:
+        epi = None
+    frame_arr = grain_arr = None
+    if epi is not None:
+        if epi.needs_frame:
+            frame_arr = jnp.asarray(
+                0 if frame is None else frame, jnp.int32
+            ).reshape(1)
+        if epi.needs_grain:
+            if grain is None:
+                raise ValueError("epilogue.grain_amount != 0 requires grain")
+            grain_arr = jnp.asarray(grain, jnp.float32)
+            if grain_arr.shape != (3, hout, wout):
+                raise ValueError(
+                    f"grain must be (3, {hout}, {wout}), got {grain_arr.shape}"
+                )
+
     def kernel(rs_ref, cs_ref, cb_ref, src_ref, r_ref, *rest):
-        st_ref = ci_ref = None
+        rest = list(rest)
+        nscr = 5 if apply_rcas else 2
+        scratch = rest[-nscr:]
+        out_ref = rest[-nscr - 1]
+        ins = rest[: -nscr - 1]
+        st_ref = ci_ref = frame_ref = grain_ref = None
+        if not col_gather and xp is None:
+            st_ref = ins.pop(0)
+        ppx_ref = ins.pop(0)
+        ppy_ref = ins.pop(0)
         if col_gather:
-            ppx_ref, ppy_ref, ci_ref, out_ref, *scratch = rest
-        elif xp is not None:
-            ppx_ref, ppy_ref, out_ref, *scratch = rest
-        else:
-            st_ref, ppx_ref, ppy_ref, out_ref, *scratch = rest
+            ci_ref = ins.pop(0)
+        if frame_arr is not None:
+            frame_ref = ins.pop(0)
+        if grain_arr is not None:
+            grain_ref = ins.pop(0)
         if apply_rcas:
             tile, e_prev, e_cur, lastcol, sem = scratch
         else:
             tile, sem = scratch
+
+        def run_epilogue(res, out_ty, out_tx):
+            """res: (3, tj, ti) output rows of tile (out_ty, out_tx)."""
+            rlane = jax.lax.broadcasted_iota(jnp.int32, (1, tj, ti), 2)
+            rrow = out_ty * tj + jax.lax.broadcasted_iota(
+                jnp.int32, (1, tj, ti), 1
+            )
+            return epilogue_mod.apply(
+                res, rrow, out_tx * ti + rlane,
+                frame_ref[0] if frame_ref is not None else 0,
+                grain_ref[:, :, :] if grain_ref is not None else None,
+                epi,
+            )
         bi = pl.program_id(0)
         ty = pl.program_id(1)
         tx = pl.program_id(2)
@@ -343,6 +397,12 @@ def easu_gather(
             dma.wait()
 
             tile3 = tile[:, :, :]
+            if prologue == "srtm":
+                t3f = tile3.astype(jnp.float32)
+                m = jnp.maximum(jnp.maximum(t3f[0], t3f[1]), t3f[2])
+                tile3 = (
+                    t3f * approx.rcp_fast(m + jnp.float32(1.0))[None]
+                ).astype(tile3.dtype)
             lumt = (
                 tile3[2].astype(jnp.float32) * 0.5
                 + (tile3[0].astype(jnp.float32) * 0.5 + tile3[1].astype(jnp.float32))
@@ -525,7 +585,10 @@ def easu_gather(
             )
 
         if not apply_rcas:
-            out_ref[0, :, :, :] = easu_tile().astype(dt)
+            res = easu_tile()
+            if epi is not None:
+                res = run_epilogue(res, ty, tx)
+            out_ref[0, :, :, :] = res.astype(dt)
             return
 
         # --- EASU for tile tx (skipped on the drain step tx == nx).
@@ -563,8 +626,10 @@ def easu_gather(
             f = jnp.where(gcol == wout - 1, ep, f)
             res = easu_math.rcas_resolve(
                 b, d, ep, f, hh, sharp, denoise=denoise, fast=True
-            )
-            out_ref[0, :, :, :] = res[:, rhalo:rhalo + tj, :].astype(dt)
+            )[:, rhalo:rhalo + tj, :]
+            if epi is not None:
+                res = run_epilogue(res, ty, tx - 1)
+            out_ref[0, :, :, :] = res.astype(dt)
 
         # --- Ring updates (read-before-write order is preserved above).
         lastcol[:, :, :] = pltpu.roll(e_prev[:, :, :], 1, axis=2)[:, :, :128]
@@ -605,6 +670,16 @@ def easu_gather(
         in_specs.append(pl.BlockSpec(
             (1, 8, ti), lambda bi, ty, tx, *_: (jnp.minimum(tx, nx - 1), 0, 0)))
         operands.append(cgidx_arr)
+    if frame_arr is not None:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        operands.append(frame_arr)
+    if grain_arr is not None:
+        if apply_rcas:
+            gidx = lambda bi, ty, tx, *_: (0, ty, jnp.maximum(tx - 1, 0))
+        else:
+            gidx = lambda bi, ty, tx, *_: (0, ty, tx)
+        in_specs.append(pl.BlockSpec((3, tj, ti), gidx))
+        operands.append(grain_arr)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(nb, ny, nsteps),

@@ -48,8 +48,9 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from fsr_tpu.core import easu_math
+from fsr_tpu.core import approx, easu_math
 from fsr_tpu.core.constants import EasuConstants, RcasConstants
+from fsr_tpu.kernels import epilogue as epilogue_mod
 from fsr_tpu.kernels.pad import edge_pad
 from fsr_tpu.ops.easu import easu_coords
 
@@ -291,11 +292,33 @@ def _pack2_bf16(lo: jnp.ndarray, hi: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def planarize_grain(grain, out_size: Tuple[int, int], con: EasuConstants):
+    """Phase-planarize an output-space LFGA grain texture for the kernel.
+
+    grain: (3, Hout, Wout) in {-0.5..0.5} -> (qy*qx, 3, Hout/qy, Wout/qx)
+    float32, phases row-major (a, b).  Do this ONCE per grain texture (it
+    is typically static across frames) and pass the result as
+    `grain_planar`; the kernel then reads grain taps phase-planar with no
+    per-frame transpose.
+    """
+    hout, wout = out_size
+    st = _phase_structure(con, out_size)
+    if st is None:
+        raise ValueError("unsupported scale for the fused kernel")
+    qy, qx = st[0], st[1]
+    g = jnp.asarray(grain, jnp.float32).reshape(
+        3, hout // qy, qy, wout // qx, qx
+    )
+    return g.transpose(2, 4, 0, 1, 3).reshape(
+        qy * qx, 3, hout // qy, wout // qx
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "out_size", "con", "rcon", "apply_rcas", "denoise", "compute_dtype",
-        "assemble", "global_rows",
+        "assemble", "global_rows", "epilogue", "prologue",
     ),
 )
 def upscale_fused(
@@ -309,6 +332,10 @@ def upscale_fused(
     assemble: str = "kernel",
     row_offset=None,
     global_rows: int = None,
+    epilogue: epilogue_mod.Epilogue = None,
+    frame=None,
+    grain_planar=None,
+    prologue: str = "none",
 ) -> jnp.ndarray:
     """Fused EASU(+RCAS) on TPU.  image: (..., 3, Hin, Win) in [0, 1].
 
@@ -326,7 +353,20 @@ def upscale_fused(
     differs per shard under shard_map) is added to local row indices, and
     global_rows (static) is the full image height.  Defaults reproduce the
     unsharded behavior (offset 0, global_rows = out rows).
+
+    epilogue / frame / grain_planar: optional fused output epilogue
+    (SRTM^-1 or gamma2 transform, LFGA grain, TEPD dithered quantize)
+    applied to the result planes in VMEM before writeback — the TPU
+    analog of the reference's inline post-ops (kernels/epilogue.py).
+    frame is the TEPD temporal index (traced scalar ok); grain_planar is
+    the phase-planar grain texture from planarize_grain().
+
+    prologue: "none" | "srtm" — optionally apply the SRTM reversible
+    tonemap (FsrSrtmF, ffx_fsr1.h:1043) to the input tile in VMEM before
+    EASU, saving the input-side XLA pass for HDR pipelines.
     """
+    if prologue not in ("none", "srtm"):
+        raise ValueError(f"unknown prologue {prologue!r}")
     # Batch handling: a native leading grid dimension (vmap cannot batch the
     # manual-DMA input, and a grid dim pipelines frames without re-dispatch).
     batch_dims = image.shape[:-3]
@@ -413,13 +453,43 @@ def upscale_fused(
     n_out_refs = n_phases if assemble == "xla" else 1
     rw = min(ti, 128)  # ring width (one vreg, or the whole plane if smaller)
 
+    # Fused output epilogue (SRTM^-1 / gamma2 / LFGA / TEPD applied to the
+    # result planes in VMEM before writeback — see kernels/epilogue.py).
+    epi = epilogue
+    if epi is not None and epi.is_noop:
+        epi = None
+    frame_arr = grain_arr = None
+    if epi is not None:
+        if epi.needs_frame:
+            frame_arr = jnp.asarray(
+                0 if frame is None else frame, jnp.int32
+            ).reshape(1)
+        if epi.needs_grain:
+            if grain_planar is None:
+                raise ValueError(
+                    "epilogue.grain_amount != 0 requires grain_planar "
+                    "(see planarize_grain)"
+                )
+            grain_arr = jnp.asarray(grain_planar, jnp.float32)
+            if grain_arr.shape != (n_phases, 3, hpl, wpl):
+                raise ValueError(
+                    f"grain_planar must be {(n_phases, 3, hpl, wpl)} "
+                    f"(phase-planar; see planarize_grain), got {grain_arr.shape}"
+                )
+
     def kernel(*args):
         i = 1
         src_ref = args[0]
-        roff_ref = None
+        roff_ref = frame_ref = grain_ref = None
         if dyn_off:
-            roff_ref = args[1]
-            i = 2
+            roff_ref = args[i]
+            i += 1
+        if frame_arr is not None:
+            frame_ref = args[i]
+            i += 1
+        if grain_arr is not None:
+            grain_ref = args[i]
+            i += 1
         outs = args[i : i + n_out_refs]
         scr = args[i + n_out_refs :]
         if pipelined:
@@ -490,6 +560,9 @@ def upscale_fused(
             # resolve run f32 (bf16-storage taps would otherwise pay a
             # down+up convert round trip per rolled tap plane).
             tile3 = tile[:, :, :].astype(jnp.float32)  # (3, tih, tiw) stacked
+            if prologue == "srtm":
+                m = jnp.maximum(jnp.maximum(tile3[0], tile3[1]), tile3[2])
+                tile3 = tile3 * approx.rcp_fast(m + jnp.float32(1.0))[None]
             lumt = tile3[2] * 0.5 + (tile3[0] * 0.5 + tile3[1])
             # g index (m, n) = response at texel (m+1, n+1).
             g_tex = easu_math.easu_texel_response(
@@ -566,6 +639,22 @@ def upscale_fused(
             planes = compute_planes()
             res_ab = [[planes[a][b][:, 1 : 1 + tj, :] for b in range(qx)]
                       for a in range(qy)]
+            if epi is not None:
+                lane = jax.lax.broadcasted_iota(jnp.int32, (1, tj, ti), 2)
+                jrow = ty * tj + jax.lax.broadcasted_iota(
+                    jnp.int32, (1, tj, ti), 1
+                )
+                for a in range(qy):
+                    for b in range(qx):
+                        res_ab[a][b] = epilogue_mod.apply(
+                            res_ab[a][b],
+                            row_off + jrow * qy + a,
+                            (tx * ti + lane) * qx + b,
+                            frame_ref[0] if frame_ref is not None else 0,
+                            grain_ref[a * qx + b] if grain_ref is not None
+                            else None,
+                            epi,
+                        )
             if assemble == "xla":
                 for a in range(qy):
                     for b in range(qx):
@@ -659,6 +748,14 @@ def upscale_fused(
                         bt, dtp, e_t, ftp, ht, float(rcon.sharpness),
                         denoise=denoise, fast=True
                     )
+                    if epi is not None:
+                        res = epilogue_mod.apply(
+                            res, grow, gcol,
+                            frame_ref[0] if frame_ref is not None else 0,
+                            grain_ref[a * qx + b] if grain_ref is not None
+                            else None,
+                            epi,
+                        )
                     res_ab[a][b] = res
                     if assemble == "xla":
                         out_refs[a * qx + b][0, :, :, :] = res.astype(dt)
@@ -673,10 +770,26 @@ def upscale_fused(
                 ring[a] = pltpu.roll(prev(a * qx + qx - 1), 1, axis=2)[:, :, :rw]
 
     in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)]
-    operands = (src,)
+    operands = [src]
     if dyn_off:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
-        operands = (src, roff_arr)
+        operands.append(roff_arr)
+    if frame_arr is not None:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        operands.append(frame_arr)
+    if grain_arr is not None:
+        if pipelined:
+            def grain_idx(bi, ty, sstep):
+                t_p = jnp.maximum(sstep - 1, 0)
+                return (0, 0, t_p // nx, t_p % nx)
+        else:
+            grain_idx = lambda bi, ty, tx: (0, 0, ty, tx)
+        in_specs.append(
+            pl.BlockSpec((n_phases, 3, tj, ti), grain_idx,
+                         memory_space=pltpu.VMEM)
+        )
+        operands.append(grain_arr)
+    operands = tuple(operands)
 
     scratch_shapes = [pltpu.VMEM((3, tih, tiw), dt)]
     if pipelined:

@@ -171,6 +171,80 @@ def main() -> int:
         failures.append("sharded kernel path")
     check("sharded sp=1 vs oracle", lowered(jnp.asarray(img)), want_s, 2e-5)
 
+    # 6. Fused output epilogue (transform + grain + TEPD dither in-kernel)
+    # on both kernel families, vs the oracle + ops.extras chain.
+    print("fused epilogue (gamma2 + LFGA + TEPD / srtm_inv):")
+    from fsr_tpu.kernels.epilogue import Epilogue
+    from fsr_tpu.ops import extras as xtr
+
+    def extras_chain(x, epi, grain, frame):
+        x = jnp.asarray(x)
+        if epi.transform == "srtm_inv":
+            x = xtr.srtm_inv(x)
+        elif epi.transform == "gamma2":
+            x = x * x
+        if epi.needs_grain:
+            x = xtr.lfga(x, jnp.asarray(grain), epi.grain_amount)
+        if epi.dither_bits is not None:
+            x = xtr.tepd_quantize(
+                x, xtr.tepd_dither(x.shape[-2:], frame), bits=epi.dither_bits
+            )
+        return np.asarray(x)
+
+    def check_dither(name, got, want, bits, max_flip_frac=1e-4):
+        d = np.abs(np.asarray(got, np.float32) - want)
+        step = 1.0 / (255.0 if bits == 8 else 1023.0)
+        flips = int((d > 4e-5).sum())
+        ok = flips <= max_flip_frac * d.size and d.max() <= 2.05 * step
+        print(f"  {'PASS' if ok else 'FAIL'} {name}: knife-edge flips="
+              f"{flips}/{d.size} max|Δ|={d.max():.3g} (≤1 step {step:.2g})")
+        if not ok:
+            failures.append(name)
+
+    in_hw, out_hw = (270, 480), (540, 960)
+    con = EasuConstants.create((480, 270), None, (960, 540))
+    img = rng.uniform(0, 1, (3, *in_hw)).astype(np.float32)
+    grain = rng.uniform(-0.5, 0.5, (3, *out_hw)).astype(np.float32)
+    base = oracle(img, out_hw, con, rcon)
+    epi = Epilogue(transform="gamma2", grain_amount=0.25, dither_bits=10)
+    gp = fused.planarize_grain(grain, out_hw, con)
+    got = fused.upscale_fused(
+        jnp.asarray(img), out_hw, con, rcon, epilogue=epi, frame=7,
+        grain_planar=gp,
+    )
+    check_dither("fused-2x epilogue", got, extras_chain(base, epi, grain, 7), 10)
+    epi_h = Epilogue(transform="srtm_inv")
+    got = fused.upscale_fused(
+        jnp.asarray(img), out_hw, con, rcon, epilogue=epi_h
+    )
+    want_h = extras_chain(base, epi_h, None, 0)
+    drel = np.abs(np.asarray(got) - want_h) / (np.abs(want_h) + 1e-3)
+    ok = float(drel.max()) <= 1e-4
+    print(f"  {'PASS' if ok else 'FAIL'} fused-2x srtm_inv: max rel Δ={drel.max():.3g}")
+    if not ok:
+        failures.append("fused-2x srtm_inv")
+
+    hdr = (rng.uniform(0, 8.0, (3, 270, 480)).astype(np.float32))
+    con_hdr = EasuConstants.create((480, 270), None, (960, 540))
+    got = fused.upscale_fused(
+        jnp.asarray(hdr), (540, 960), con_hdr, rcon, prologue="srtm"
+    )
+    want_p = oracle(
+        np.asarray(xtr.srtm(jnp.asarray(hdr))), (540, 960), con_hdr, rcon
+    )
+    check("fused-2x srtm prologue", got, want_p, 4e-5)
+
+    in_hw, out_hw = (360, 854), (540, 1281)  # gather kernel (1.5x hybrid)
+    con_g = EasuConstants.create((854, 360), None, (1281, 540))
+    img_g = rng.uniform(0, 1, (3, *in_hw)).astype(np.float32)
+    grain_g = rng.uniform(-0.5, 0.5, (3, *out_hw)).astype(np.float32)
+    base_g = oracle(img_g, out_hw, con_g, rcon)
+    got = easu_gather.easu_gather(
+        jnp.asarray(img_g), out_hw, con_g, rcon, apply_rcas=True,
+        epilogue=epi, frame=7, grain=jnp.asarray(grain_g),
+    )
+    check_dither("gather epilogue", got, extras_chain(base_g, epi, grain_g, 7), 10)
+
     print("FAILURES:" if failures else "ALL PASS", failures or "")
     return 1 if failures else 0
 
