@@ -66,7 +66,7 @@ from jax.experimental.pallas import tpu as pltpu
 from fsr_tpu.core import approx, easu_math
 from fsr_tpu.core.constants import EasuConstants, RcasConstants
 from fsr_tpu.kernels import epilogue as epilogue_mod
-from fsr_tpu.kernels.pad import edge_pad
+from fsr_tpu.kernels.pad import edge_pad, kernel_path_ok
 from fsr_tpu.ops.easu import easu_coords
 
 INTERPRET = False
@@ -247,7 +247,23 @@ def easu_gather(
     pad_bottom = max(0, int(row_starts.max()) + tih - (hin + pad_top))
     pad_right = max(0, int(col_starts.max()) + tiw - (win + pad_left))
 
-    src = edge_pad(image, (pad_top, pad_bottom, pad_left, pad_right), dt)
+    # Input prep: one pass over the image, edge-replicated + converted.
+    # When the Pallas pad kernel can't window the shape (unaligned extents
+    # — e.g. the 1.3x/1.7x preset render sizes), pad with ZEROS instead
+    # (a single XLA pad+convert fusion, vs jnp.pad(edge)'s two concat
+    # passes) and replicate the borders in-kernel per tile (`fix` below).
+    if kernel_path_ok(hin, win):
+        src = edge_pad(image, (pad_top, pad_bottom, pad_left, pad_right), dt)
+        fix = None
+    else:
+        src = jnp.pad(
+            image.astype(dt),
+            ((0, 0),) * (image.ndim - 2)
+            + ((pad_top, pad_bottom), (pad_left, pad_right)),
+        )
+        # Valid-region bounds in padded coordinates (row lo, row hi,
+        # col lo, col hi), all inclusive.
+        fix = (pad_top, pad_top + hin - 1, pad_left, pad_left + win - 1)
 
     # Base one-hot selectors at shift -1 (the earliest tap); other shifts
     # are in-kernel rolls.  R[t, j, r] = 1 iff r == lfy[t, j] - 1;
@@ -395,6 +411,47 @@ def easu_gather(
             )
             dma.start()
             dma.wait()
+
+            if fix is not None:
+                # Zero-padded source: replicate the image borders in-VMEM
+                # (bit-equal to edge padding — pure copies).  Gated to the
+                # tiles whose window actually crosses the image border
+                # (~25-30% at 4K), which write the fixed tile back in
+                # place; interior tiles skip all of it.
+                rlo, rhi, clo, chi = fix
+                is_edge = (rstart + tih > rhi + 1) | (cstart + tiw > chi + 1)
+                if rlo:
+                    is_edge = is_edge | (rstart < rlo)
+                if clo:
+                    is_edge = is_edge | (cstart < clo)
+
+                @pl.when(is_edge)
+                def _():
+                    wide = jnp.dtype(dt).itemsize < 4
+                    t0 = tile[:, :, :]
+                    x = t0.astype(jnp.float32) if wide else t0
+                    gr = rstart + jax.lax.broadcasted_iota(
+                        jnp.int32, (1, tih, 1), 1)
+                    gc = cstart + jax.lax.broadcasted_iota(
+                        jnp.int32, (1, 1, tiw), 2)
+                    brow = jnp.clip(rhi - rstart, 0, tih - 1)
+                    bcol = jnp.clip(chi - cstart, 0, tiw - 1)
+                    # Dynamic boundary row/col via rolls (Mosaic rejects
+                    # dynamic vector loads at unprovable offsets).  Rows
+                    # fix first; the right column then comes from the
+                    # row-fixed tile, so corners replicate the corner
+                    # texel.
+                    bot = pltpu.roll(
+                        x, jnp.remainder(-brow, tih), axis=1)[:, :1, :]
+                    if rlo:
+                        x = jnp.where(gr < rlo, x[:, rlo:rlo + 1, :], x)
+                    x = jnp.where(gr > rhi, bot, x)
+                    rgt = pltpu.roll(
+                        x, jnp.remainder(-bcol, tiw), axis=2)[:, :, :1]
+                    if clo:
+                        x = jnp.where(gc < clo, x[:, :, clo:clo + 1], x)
+                    x = jnp.where(gc > chi, rgt, x)
+                    tile[:, :, :] = x.astype(dt) if wide else x
 
             tile3 = tile[:, :, :]
             if prologue == "srtm":

@@ -27,6 +27,16 @@ from jax.experimental.pallas import tpu as pltpu
 INTERPRET = False
 
 
+def kernel_path_ok(h: int, w: int) -> bool:
+    """True when the Pallas pad kernel can window this image: Mosaic DMA
+    needs provably 8-aligned sublane offsets and 128-multiple lane
+    extents, so 8 | h and 128 | w (and enough rows to window)."""
+    ts = 128
+    while ts + 8 > h and ts > 8:
+        ts -= 8
+    return not (ts + 8 > h or h % 8 or w < 128 or w % 128)
+
+
 def _xla_pad(image, pads, out_dtype):
     pt, pb, pl_, pr = pads
     return jnp.pad(
@@ -56,8 +66,9 @@ def edge_pad(image: jnp.ndarray, pads: Tuple[int, int, int, int], out_dtype):
     # Row DMA offsets must be provably 8-aligned into the tiled HBM memref,
     # so the kernel path needs 8 | h (otherwise the bottom rows cannot be
     # windowed), and full-width row DMAs need 128 | w; the main configs
-    # (1080/1440/2160-row, 1920/2560-wide inputs) qualify.
-    if ts + 8 > h or h % 8 or w < 128 or w % 128 or image.ndim < 3:
+    # (1080/1440/2160-row, 1920/2560-wide inputs) qualify.  (Gating logic
+    # mirrored by kernel_path_ok for callers that pick a pad strategy.)
+    if not kernel_path_ok(h, w) or image.ndim < 3:
         return _xla_pad(image, pads, out_dtype)
 
     nc = image.shape[-3]
