@@ -11,6 +11,7 @@ Usage:
   python -m fsr_tpu.cli IN OUT [--preset quality] [--scale 2.0]
       [--mode fsr|bilinear|native] [--sharpness 0.25] [--no-rcas]
       [--denoise] [--dtype float32|bfloat16|float16] [--impl auto|xla|pallas]
+      [--hdr] [--gamma2-out] [--grain AMOUNT] [--dither-bits 8|10] [--frame N]
       [--config cfg.json] [--benchmark N --results out.csv]
       [--compare out.png]
 """
@@ -40,6 +41,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dtype", default="float32",
                    choices=["float32", "bfloat16", "float16"])
     p.add_argument("--impl", default="auto", choices=["auto", "xla", "pallas"])
+    p.add_argument("--hdr", action="store_true",
+                   help="treat input as HDR: SRTM tonemap in, SRTM^-1 out "
+                        "(fused into the kernel)")
+    p.add_argument("--gamma2-out", action="store_true",
+                   help="square the output (gamma-2.0 -> linear, the "
+                        "sample's HDR swapchain mode)")
+    p.add_argument("--grain", type=float, default=0.0, metavar="AMOUNT",
+                   help="LFGA film grain amount (0..1); grain texture is "
+                        "seeded per --frame")
+    p.add_argument("--dither-bits", type=int, default=None, choices=[8, 10],
+                   help="TEPD dithered quantize to 8/10-bit gamma-2.0")
+    p.add_argument("--frame", type=int, default=0,
+                   help="temporal frame index for grain/dither")
     p.add_argument("--benchmark", type=int, default=0, metavar="N",
                    help="time N upscale iterations and report")
     p.add_argument("--results", default=None, help="benchmark CSV output path")
@@ -80,12 +94,30 @@ def main(argv=None) -> int:
 
     x = jnp.asarray(img[:3])
 
+    use_pipeline = (args.hdr or args.gamma2_out or args.grain
+                    or args.dither_bits is not None)
+    pipe = grain_tex = None
+    if use_pipeline and args.mode == "fsr":
+        pipe = api.UpscalePipeline(
+            out_hw, sharpness=args.sharpness, apply_rcas=not args.no_rcas,
+            denoise=args.denoise, hdr_srtm=args.hdr, hdr_out=args.hdr,
+            gamma2_out=args.gamma2_out, grain_amount=args.grain,
+            dither_bits=args.dither_bits, compute_dtype=dtype, impl=args.impl,
+        )
+        if args.grain:
+            grng = np.random.default_rng(args.frame)
+            grain_tex = jnp.asarray(
+                grng.uniform(-0.5, 0.5, (3, *out_hw)).astype(np.float32)
+            )
+
     def run():
         if args.mode == "native":
             return x
         if args.mode == "bilinear":
             con = EasuConstants.create((win, hin), None, (out_hw[1], out_hw[0]))
             return easu_ops.bilinear(x, out_hw, con)
+        if pipe is not None:
+            return pipe(x, grain=grain_tex, frame=args.frame)
         return api.upscale(
             x, out_size=out_hw, sharpness=args.sharpness,
             apply_rcas=not args.no_rcas, denoise=args.denoise,

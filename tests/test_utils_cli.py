@@ -74,6 +74,24 @@ def test_cli_end_to_end(tmp_path, rng):
     assert lines[0] == "frame,ms" and len(lines) == 3
 
 
+def test_cli_pipeline_flags(tmp_path, rng):
+    from fsr_tpu import cli
+
+    src = rng.uniform(0, 1, (3, 32, 48)).astype(np.float32)
+    inp = str(tmp_path / "in.png")
+    outp = str(tmp_path / "out.png")
+    im.save_image(inp, src)
+    rc = cli.main([inp, outp, "--scale", "2.0", "--impl", "xla",
+                   "--grain", "0.2", "--dither-bits", "8", "--frame", "3"])
+    assert rc == 0
+    out = im.load_image(outp)
+    assert out.shape == (3, 64, 96)
+    assert np.isfinite(out).all() and out.min() >= 0.0 and out.max() <= 1.0
+    rc = cli.main([inp, str(tmp_path / "hdr.png"), "--scale", "2.0",
+                   "--impl", "xla", "--hdr"])
+    assert rc == 0
+
+
 def test_cli_config_merge(tmp_path, rng):
     from fsr_tpu import cli
 
