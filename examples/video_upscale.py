@@ -2,9 +2,10 @@
 
 Shows the per-frame temporal controls the reference exposes (TEPD's frame
 counter, FSRTonemapping.h:39-41, and LFGA's temporally-changing grain): a
-clip is processed in device batches through one kernel dispatch (frames are
-a grid dimension, not a Python loop), with the dither pattern advancing per
-frame so quantization error is temporally energy-preserving.
+clip is processed in device batches through ONE kernel dispatch per batch
+(frames are a grid dimension, not a Python loop; grain and the TEPD dither
+fuse into the kernel writeback), with the dither pattern advancing per
+batch so quantization error is temporally energy-preserving.
 
     python examples/video_upscale.py          # on the TPU
 """
@@ -37,8 +38,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from fsr_tpu import api
-    from fsr_tpu.ops import extras
+    import fsr_tpu
 
     in_hw, out_hw = (270, 480), (540, 960)
     batch = 8
@@ -46,16 +46,18 @@ def main():
     rng = np.random.default_rng(1)
     grain = jnp.asarray(rng.uniform(-0.5, 0.5, (3, *out_hw)).astype(np.float32))
 
-    @jax.jit
-    def process(frames, first_index):
-        up = api.upscale(frames, out_size=out_hw, sharpness=0.25, impl="auto")
-        up = extras.lfga(up, grain, 0.15)
-        # Per-frame dither phase: TEPD animates with the frame counter.
-        def dither_one(i, frame):
-            dit = extras.tepd_dither(out_hw, first_index + i)
-            return extras.tepd_quantize(frame, dit, bits=8)
+    # One kernel dispatch per batch: grain and the TEPD dither fuse into
+    # the kernel writeback (kernels/epilogue.py); the pipeline caches the
+    # phase-planar grain layout for the 2x kernel automatically.  The
+    # dither pattern advances with the batch's first frame index (all
+    # frames of a batch share a page — the sample advances its blue-noise
+    # page per present, frame%8, the same granularity).
+    pipe = fsr_tpu.UpscalePipeline(
+        out_hw, sharpness=0.25, grain_amount=0.15, dither_bits=8,
+    )
 
-        return jax.vmap(dither_one)(jnp.arange(frames.shape[0]), up)
+    def process(frames, first_index):
+        return pipe(frames, grain=grain, frame=first_index)
 
     outs = []
     t0 = time.perf_counter()
