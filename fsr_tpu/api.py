@@ -47,6 +47,12 @@ def _resolve_out_size(
     return (round(in_size[0] * scale), round(in_size[1] * scale))
 
 
+def _encode_u8(x):
+    """D3D UNORM encode floor(sat(x)*255 + 0.5), matching utils.image."""
+    v = jnp.clip(x.astype(jnp.float32), 0.0, 1.0) * jnp.float32(255.0)
+    return jnp.floor(v + jnp.float32(0.5)).astype(jnp.uint8)
+
+
 def _apply_epilogue_xla(out, epi, frame, grain):
     """XLA-path twin of the kernels' fused epilogue (same f32 math, same
     approximation choices — see kernels/epilogue.py)."""
@@ -84,6 +90,7 @@ def upscale(
     grain=None,
     grain_planar=None,
     prologue: str = "none",
+    out_dtype=None,
 ) -> jnp.ndarray:
     """FSR 1.0 upscale: EASU + optional RCAS.
 
@@ -111,6 +118,11 @@ def upscale(
     prologue: "none" | "srtm" — SRTM reversible tonemap applied to the
       (RGB) input before EASU, fused into the kernel's tile load on the
       kernel path.
+    uint8 I/O (byte video pipelines): a uint8 image is decoded v/255
+      (in-kernel on the TPU path — the source and tile DMAs stay bytes);
+      out_dtype=jnp.uint8 encodes floor(sat(v)*255+0.5) (the D3D UNORM
+      rule) at the kernel store — with dither_bits=8 the byte is the
+      display code.  Otherwise out_dtype must match compute_dtype.
     """
     if layout == "HWC":
         image = jnp.moveaxis(image, -1, -3)
@@ -132,7 +144,8 @@ def upscale(
     if impl in ("auto", "pallas"):
         from fsr_tpu.kernels import dispatch as kdispatch
 
-        use_pallas = kdispatch.supported(image, out_hw, con, compute_dtype)
+        use_pallas = kdispatch.supported(image, out_hw, con, compute_dtype,
+                                         out_dtype=out_dtype)
         if impl == "pallas" and not use_pallas:
             raise ValueError(
                 "pallas path does not support this configuration "
@@ -143,10 +156,15 @@ def upscale(
     # (the reference's passthrough flag applies to RCAS, ffx_fsr1.h:688-705),
     # so alpha rides along bilinearly and is never sharpened — on both the
     # kernel and the XLA path, so impl="auto" gives identical results.
+    u8_in = image.dtype == jnp.uint8
+    u8_out = out_dtype is not None and jnp.dtype(out_dtype) == jnp.uint8
     alpha = None
     rgb = image
     if image.shape[-3] == 4:
-        alpha = easu_ops.bilinear(image[..., 3:4, :, :], out_hw, con)
+        a_src = image[..., 3:4, :, :]
+        if u8_in:
+            a_src = a_src.astype(jnp.float32) * jnp.float32(1.0 / 255.0)
+        alpha = easu_ops.bilinear(a_src, out_hw, con)
         rgb = image[..., :3, :, :]
 
     if epilogue is not None and epilogue.is_noop:
@@ -158,9 +176,11 @@ def upscale(
             rgb, out_hw, con, rcon,
             apply_rcas=apply_rcas, denoise=denoise, compute_dtype=compute_dtype,
             epilogue=epilogue, frame=frame, grain=grain,
-            grain_planar=grain_planar, prologue=prologue,
+            grain_planar=grain_planar, prologue=prologue, out_dtype=out_dtype,
         )
     else:
+        if u8_in:
+            rgb = rgb.astype(jnp.float32) * jnp.float32(1.0 / 255.0)
         if prologue == "srtm":
             rgb = extras.srtm(rgb)
         elif prologue != "none":
@@ -170,7 +190,13 @@ def upscale(
             out = rcas_ops.rcas(out, rcon, denoise=denoise, compute_dtype=compute_dtype)
         if epilogue is not None:
             out = _apply_epilogue_xla(out, epilogue, frame, grain)
+        if u8_out:
+            out = _encode_u8(out)
+        elif out_dtype is not None:
+            out = out.astype(out_dtype)
     if alpha is not None:
+        if u8_out:
+            alpha = _encode_u8(alpha)
         out = jnp.concatenate([out, alpha.astype(out.dtype)], axis=-3)
 
     if layout == "HWC":
@@ -261,7 +287,13 @@ class UpscalePipeline:
         dither_texture=None,
         compute_dtype=jnp.float32,
         impl: str = "auto",
+        out_dtype=None,
     ):
+        if out_dtype is not None and jnp.dtype(out_dtype) == jnp.uint8:
+            if hdr_out:
+                raise ValueError("uint8 output cannot hold HDR values")
+            if dither_bits == 10:
+                raise ValueError("uint8 output cannot hold 10-bit codes")
         if hdr_out and not hdr_srtm:
             raise ValueError("hdr_out=True requires hdr_srtm=True")
         if hdr_out and gamma2_out:
@@ -282,6 +314,7 @@ class UpscalePipeline:
         )
         self.compute_dtype = compute_dtype
         self.impl = impl
+        self.out_dtype = out_dtype
         self._grain_cache = None
 
     def _planar_grain(self, grain, in_hw):
@@ -322,12 +355,16 @@ class UpscalePipeline:
         use_grain = bool(self.grain_amount) and grain is not None
         # TEPD codes are k/255 or k/1023 levels: 16-bit storage cannot hold
         # the 10-bit codes near white, so the dither fuses into the kernel
-        # only when the output dtype is f32; the texture-dither variant
+        # only when the output dtype is f32 — or uint8 with 8-bit codes,
+        # where the stored byte IS the code; the texture-dither variant
         # (modular page lookup) stays an XLA pass either way.
+        u8_out = (self.out_dtype is not None
+                  and jnp.dtype(self.out_dtype) == jnp.uint8)
         fuse_dither = (
             self.dither_bits is not None
             and self.dither_texture is None
-            and jnp.dtype(self.compute_dtype) == jnp.float32
+            and (jnp.dtype(self.compute_dtype) == jnp.float32
+                 or (u8_out and self.dither_bits == 8))
         )
         epi = Epilogue(
             transform=("srtm_inv" if self.hdr_out
@@ -349,6 +386,8 @@ class UpscalePipeline:
             grain=grain if use_grain else None,
             grain_planar=gp,
             prologue="srtm" if self.hdr_srtm else "none",
+            out_dtype=self.out_dtype if (fuse_dither or
+                                         self.dither_bits is None) else None,
         )
         if self.dither_bits is not None and not fuse_dither:
             if self.dither_texture is not None:
@@ -356,4 +395,6 @@ class UpscalePipeline:
             else:
                 dit = extras.tepd_dither(self.out_size, frame)
             x = extras.tepd_quantize(x.astype(jnp.float32), dit, bits=self.dither_bits)
+            if u8_out:
+                x = _encode_u8(x)
         return x

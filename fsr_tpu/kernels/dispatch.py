@@ -21,7 +21,8 @@ def _on_tpu() -> bool:
         return False
 
 
-def supported(image, out_size, con: EasuConstants, compute_dtype) -> bool:
+def supported(image, out_size, con: EasuConstants, compute_dtype,
+              out_dtype=None) -> bool:
     from fsr_tpu.kernels import easu_gather, fused
 
     if not _on_tpu():
@@ -30,8 +31,10 @@ def supported(image, out_size, con: EasuConstants, compute_dtype) -> bool:
     if shape[-3] == 4:
         # api splits off alpha (bilinear) and runs the kernels on RGB.
         shape = shape[:-3] + (3,) + shape[-2:]
-    return fused.supported(shape, out_size, con, compute_dtype) or (
-        easu_gather.supported(shape, out_size, con, compute_dtype)
+    return fused.supported(shape, out_size, con, compute_dtype,
+                           out_dtype=out_dtype) or (
+        easu_gather.supported(shape, out_size, con, compute_dtype,
+                              out_dtype=out_dtype)
     )
 
 
@@ -48,6 +51,7 @@ def upscale_fused(
     grain=None,
     grain_planar=None,
     prologue: str = "none",
+    out_dtype=None,
 ):
     """Dispatch to the right fused kernel.
 
@@ -59,7 +63,8 @@ def upscale_fused(
     """
     from fsr_tpu.kernels import easu_gather, fused
 
-    if fused.supported(image.shape, out_size, con, compute_dtype):
+    if fused.supported(image.shape, out_size, con, compute_dtype,
+                       out_dtype=out_dtype):
         # Integer-ratio phase structure: single fused EASU+RCAS kernel.
         gp = grain_planar
         if gp is None and grain is not None:
@@ -68,7 +73,7 @@ def upscale_fused(
             image, out_size, con, rcon,
             apply_rcas=apply_rcas, denoise=denoise, compute_dtype=compute_dtype,
             epilogue=epilogue, frame=frame, grain_planar=gp,
-            prologue=prologue,
+            prologue=prologue, out_dtype=out_dtype,
         )
     # Arbitrary ratio: one-hot MXU gather EASU with RCAS fused via the
     # one-tile software pipeline (no intermediate HBM round trip).
@@ -76,4 +81,5 @@ def upscale_fused(
         image, out_size, con, rcon=rcon, apply_rcas=apply_rcas,
         denoise=denoise, compute_dtype=compute_dtype,
         epilogue=epilogue, frame=frame, grain=grain, prologue=prologue,
+        out_dtype=out_dtype,
     )

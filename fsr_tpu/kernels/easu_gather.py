@@ -72,7 +72,8 @@ from fsr_tpu.ops.easu import easu_coords
 INTERPRET = False
 
 
-def supported(in_shape, out_size, con: EasuConstants, compute_dtype) -> bool:
+def supported(in_shape, out_size, con: EasuConstants, compute_dtype,
+              out_dtype=None) -> bool:
     if len(in_shape) < 3 or in_shape[-3] != 3:
         return False
     if jnp.dtype(compute_dtype) not in (jnp.float32, jnp.bfloat16):
@@ -81,20 +82,29 @@ def supported(in_shape, out_size, con: EasuConstants, compute_dtype) -> bool:
     hin, win = in_shape[-2:]
     if hout < 16 or wout < 128:
         return False
+    if out_dtype is not None and jnp.dtype(out_dtype) == jnp.uint8:
+        # 8-bit output blocks need a 32-row sublane granule.
+        for rc in (True, False):
+            tj, _ = _pick_tiles(hout, wout, apply_rcas=rc, out8=True)
+            if tj % 32 and tj != hout:
+                return False
     # EASU contract: 1x to 4x area scaling (ffx_fsr1.h:40); the tile-window
     # math below also assumes no downscale.
     return hout >= hin and wout >= win
 
 
-def _pick_tiles(hout: int, wout: int, apply_rcas: bool = False):
+def _pick_tiles(hout: int, wout: int, apply_rcas: bool = False,
+                out8: bool = False):
     """On-device sweep (v5e, 1.5x -> 4K): the fused EASU+RCAS pipeline is
     fastest at (120, 384) — tj=120 makes the 2-row RCAS halo round to one
     extra sublane granule (128 rows, +6.7%) instead of +12.5% at tj=64, and
     ti=384 amortizes per-step scratch traffic without the VMEM spills that
-    set in at ti>=512.  The EASU-only kernel keeps (64, 256)."""
+    set in at ti>=512 (re-confirmed over tj 56..216 x ti 128..512 after the
+    col-gather/hybrid rewrites).  The EASU-only kernel keeps (64, 256).
+    out8: uint8 output blocks need a 32-row granule -> tj=96."""
     if apply_rcas:
         ti = 384 if wout >= 384 else (256 if wout >= 256 else 128)
-        tj = 120
+        tj = 96 if out8 else 120
         while tj > hout and tj > 8:
             tj = 8 * ((tj // 2) // 8) or 8
         return tj, ti
@@ -168,7 +178,7 @@ def _detect_x_phase(fxv: np.ndarray, wout: int):
 @functools.partial(
     jax.jit,
     static_argnames=("out_size", "con", "rcon", "apply_rcas", "denoise",
-                     "compute_dtype", "epilogue", "prologue"),
+                     "compute_dtype", "epilogue", "prologue", "out_dtype"),
 )
 def easu_gather(
     image: jnp.ndarray,
@@ -182,6 +192,7 @@ def easu_gather(
     frame=None,
     grain=None,
     prologue: str = "none",
+    out_dtype=None,
 ) -> jnp.ndarray:
     """EASU upscale (optionally + fused RCAS) for arbitrary ratios.
 
@@ -194,6 +205,9 @@ def easu_gather(
     kernel, `grain` is plain output-space (3, Hout, Wout).
     prologue: "none" | "srtm" — SRTM tonemap applied to the input tile in
     VMEM before EASU (FsrSrtmF, ffx_fsr1.h:1043).
+    uint8 I/O: a uint8 image is decoded v/255 in-kernel (byte source +
+    byte tile DMAs); out_dtype=jnp.uint8 encodes the D3D UNORM rule at
+    the store (see kernels/fused.py).
     """
     if apply_rcas and rcon is None:
         raise ValueError("apply_rcas=True requires rcon")
@@ -204,10 +218,15 @@ def easu_gather(
     nb = image.shape[0]
 
     dt = jnp.dtype(compute_dtype)
+    u8_in = image.dtype == jnp.uint8
+    out_dt = jnp.dtype(out_dtype) if out_dtype is not None else dt
+    u8_out = out_dt == jnp.uint8
+    if out_dt != dt and not u8_out:
+        raise ValueError("out_dtype must be uint8 or match compute_dtype")
     hout, wout = out_size
     hin, win = image.shape[-2:]
     fx, fy, px, py = easu_coords(con, out_size)
-    tj, ti = _pick_tiles(hout, wout, apply_rcas=apply_rcas)
+    tj, ti = _pick_tiles(hout, wout, apply_rcas=apply_rcas, out8=u8_out)
     # Hybrid X-phase mode: when the X mapping is exactly rational (stride
     # source texels per qx outputs — e.g. the Quality 1.5x preset is
     # stride 2 / qx 3), column taps become rolls of stride-deinterleaved
@@ -252,7 +271,17 @@ def easu_gather(
     # — e.g. the 1.3x/1.7x preset render sizes), pad with ZEROS instead
     # (a single XLA pad+convert fusion, vs jnp.pad(edge)'s two concat
     # passes) and replicate the borders in-kernel per tile (`fix` below).
-    if kernel_path_ok(hin, win):
+    if u8_in:
+        # Bytes end-to-end: edge replication on uint8 is plain (cheap)
+        # concat padding; the v/255 decode happens per tile in-kernel.
+        src = jnp.pad(
+            image,
+            ((0, 0),) * (image.ndim - 2)
+            + ((pad_top, pad_bottom), (pad_left, pad_right)),
+            mode="edge",
+        )
+        fix = None
+    elif kernel_path_ok(hin, win):
         src = edge_pad(image, (pad_top, pad_bottom, pad_left, pad_right), dt)
         fix = None
     else:
@@ -369,6 +398,14 @@ def easu_gather(
         else:
             tile, sem = scratch
 
+        def store_cast(res):
+            if u8_out:
+                v = jnp.clip(res, 0.0, 1.0) * jnp.float32(255.0)
+                return jnp.floor(v + jnp.float32(0.5)).astype(
+                    jnp.int32
+                ).astype(jnp.uint8)
+            return res.astype(dt)
+
         def run_epilogue(res, out_ty, out_tx):
             """res: (3, tj, ti) output rows of tile (out_ty, out_tx)."""
             rlane = jax.lax.broadcasted_iota(jnp.int32, (1, tj, ti), 2)
@@ -454,6 +491,10 @@ def easu_gather(
                     tile[:, :, :] = x.astype(dt) if wide else x
 
             tile3 = tile[:, :, :]
+            if u8_in:
+                tile3 = tile3.astype(jnp.int32).astype(jnp.float32) * jnp.float32(
+                    1.0 / 255.0
+                )
             if prologue == "srtm":
                 t3f = tile3.astype(jnp.float32)
                 m = jnp.maximum(jnp.maximum(t3f[0], t3f[1]), t3f[2])
@@ -645,7 +686,7 @@ def easu_gather(
             res = easu_tile()
             if epi is not None:
                 res = run_epilogue(res, ty, tx)
-            out_ref[0, :, :, :] = res.astype(dt)
+            out_ref[0, :, :, :] = store_cast(res)
             return
 
         # --- EASU for tile tx (skipped on the drain step tx == nx).
@@ -686,7 +727,7 @@ def easu_gather(
             )[:, rhalo:rhalo + tj, :]
             if epi is not None:
                 res = run_epilogue(res, ty, tx - 1)
-            out_ref[0, :, :, :] = res.astype(dt)
+            out_ref[0, :, :, :] = store_cast(res)
 
         # --- Ring updates (read-before-write order is preserved above).
         lastcol[:, :, :] = pltpu.roll(e_prev[:, :, :], 1, axis=2)[:, :, :128]
@@ -694,7 +735,7 @@ def easu_gather(
 
     if apply_rcas:
         scratch_shapes = [
-            pltpu.VMEM((3, tih, tiw), dt),
+            pltpu.VMEM((3, tih, tiw), jnp.uint8 if u8_in else dt),
             pltpu.VMEM((3, tj_e, ti), jnp.float32),
             pltpu.VMEM((3, tj_e, ti), jnp.float32),
             pltpu.VMEM((3, tj_e, 128), jnp.float32),
@@ -703,7 +744,7 @@ def easu_gather(
         out_index = lambda bi, ty, tx, *_: (bi, 0, ty, jnp.maximum(tx - 1, 0))
     else:
         scratch_shapes = [
-            pltpu.VMEM((3, tih, tiw), dt),
+            pltpu.VMEM((3, tih, tiw), jnp.uint8 if u8_in else dt),
             pltpu.SemaphoreType.DMA(()),
         ]
         out_index = lambda bi, ty, tx, *_: (bi, 0, ty, tx)
@@ -747,7 +788,7 @@ def easu_gather(
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nb, 3, hout, wout), dt),
+        out_shape=jax.ShapeDtypeStruct((nb, 3, hout, wout), out_dt),
         interpret=INTERPRET,
     )(jnp.asarray(row_starts), jnp.asarray(col_starts), cbase_flat, *operands)
     return out.reshape(batch_dims + (3, hout, wout))

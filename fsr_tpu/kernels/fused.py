@@ -101,7 +101,8 @@ def _phase_structure(con: EasuConstants, out_size: Tuple[int, int]):
     return qy, qx, ry, rx, py_phase, px_phase
 
 
-def supported(in_shape, out_size, con: EasuConstants, compute_dtype) -> bool:
+def supported(in_shape, out_size, con: EasuConstants, compute_dtype,
+              out_dtype=None) -> bool:
     if len(in_shape) < 3 or in_shape[-3] != 3:
         return False  # alpha passthrough stays on the XLA path for now
     if jnp.dtype(compute_dtype) not in (jnp.float32, jnp.bfloat16):
@@ -115,11 +116,15 @@ def supported(in_shape, out_size, con: EasuConstants, compute_dtype) -> bool:
     if st is None:
         return False
     qy, qx = st[0], st[1]
-    pack = jnp.dtype(compute_dtype) == jnp.bfloat16 and qy in (2, 4)
-    return _pick_tiles(hout // qy, wout // qx, qy, qx, pack=pack) is not None
+    u8_out = out_dtype is not None and jnp.dtype(out_dtype) == jnp.uint8
+    pack = (not u8_out) and jnp.dtype(compute_dtype) == jnp.bfloat16 \
+        and qy in (2, 4)
+    return _pick_tiles(hout // qy, wout // qx, qy, qx, pack=pack,
+                       out8=u8_out) is not None
 
 
-def _pick_tiles(hpl: int, wpl: int, qy: int, qx: int, pack: bool = False):
+def _pick_tiles(hpl: int, wpl: int, qy: int, qx: int, pack: bool = False,
+                out8: bool = False):
     """Plane-space tile sizes (TJ rows, TI cols per phase), or None.
 
     Column extents must be powers of two (butterfly riffle); rows too on
@@ -128,7 +133,8 @@ def _pick_tiles(hpl: int, wpl: int, qy: int, qx: int, pack: bool = False):
     the on-device sweep winner there (56 OOMs VMEM; 32 wastes 25% of the
     row window).  The output block (qy*tj, qx*ti) must satisfy Pallas's
     block rule: last dim divisible by 128 (or equal to the full width),
-    second-to-last divisible by 8 (or equal to the full height).
+    second-to-last divisible by 8 (or equal to the full height) — 32 for
+    8-bit outputs (out8), whose sublane granule is 32 rows.
     """
 
     def pow2(v):
@@ -155,6 +161,8 @@ def _pick_tiles(hpl: int, wpl: int, qy: int, qx: int, pack: bool = False):
     if (qx * ti) % 128 and qx * ti != wout:
         return None
     if (qy * tj) % 8 and qy * tj != hout:
+        return None
+    if out8 and (qy * tj) % 32 and qy * tj != hout:
         return None
     # Input DMA offsets (ty*tj, tx*ti) must be provably (8, 128)-aligned
     # unless there is only one tile along that axis.
@@ -318,7 +326,7 @@ def planarize_grain(grain, out_size: Tuple[int, int], con: EasuConstants):
     jax.jit,
     static_argnames=(
         "out_size", "con", "rcon", "apply_rcas", "denoise", "compute_dtype",
-        "assemble", "global_rows", "epilogue", "prologue",
+        "assemble", "global_rows", "epilogue", "prologue", "out_dtype",
     ),
 )
 def upscale_fused(
@@ -336,6 +344,7 @@ def upscale_fused(
     frame=None,
     grain_planar=None,
     prologue: str = "none",
+    out_dtype=None,
 ) -> jnp.ndarray:
     """Fused EASU(+RCAS) on TPU.  image: (..., 3, Hin, Win) in [0, 1].
 
@@ -364,6 +373,13 @@ def upscale_fused(
     prologue: "none" | "srtm" — optionally apply the SRTM reversible
     tonemap (FsrSrtmF, ffx_fsr1.h:1043) to the input tile in VMEM before
     EASU, saving the input-side XLA pass for HDR pipelines.
+
+    uint8 I/O (beyond the reference's float-texture contract, for byte
+    video pipelines): a uint8 image is decoded v/255 in-kernel — the
+    padded source and tile DMAs stay bytes (4x less HBM traffic than
+    f32); out_dtype=jnp.uint8 encodes floor(sat(v)*255 + 0.5) (the D3D
+    UNORM rule, matching utils.image.to_uint8) at the store — with an
+    8-bit TEPD epilogue the stored byte IS the display code.
     """
     if prologue not in ("none", "srtm"):
         raise ValueError(f"unknown prologue {prologue!r}")
@@ -374,6 +390,13 @@ def upscale_fused(
     nb = image.shape[0]
 
     dt = jnp.dtype(compute_dtype)
+    u8_in = image.dtype == jnp.uint8
+    out_dt = jnp.dtype(out_dtype) if out_dtype is not None else dt
+    u8_out = out_dt == jnp.uint8
+    if u8_out and assemble != "kernel":
+        raise ValueError("uint8 output requires assemble='kernel'")
+    if out_dt != dt and not u8_out:
+        raise ValueError("out_dtype must be uint8 or match compute_dtype")
     hout, wout = out_size
     hin, win = image.shape[-2:]
     st = _phase_structure(con, out_size)
@@ -382,8 +405,9 @@ def upscale_fused(
     qy, qx, ry, rx, py_phase, px_phase = st
 
     hpl, wpl = hout // qy, wout // qx  # phase-plane extent
-    pack_bf16 = assemble == "kernel" and dt == jnp.bfloat16 and qy in (2, 4)
-    tiles = _pick_tiles(hpl, wpl, qy, qx, pack=pack_bf16)
+    pack_bf16 = (assemble == "kernel" and dt == jnp.bfloat16
+                 and qy in (2, 4) and not u8_out)
+    tiles = _pick_tiles(hpl, wpl, qy, qx, pack=pack_bf16, out8=u8_out)
     if tiles is None:
         raise ValueError("no valid tile plan for this size (use impl='xla')")
     tj, ti = tiles
@@ -414,7 +438,17 @@ def upscale_fused(
     pad_bottom = max(0, (ny - 1) * tj + tih - (hin - crop_top + pad_top))
     pad_right = max(0, (nx - 1) * ti + tiw - (win - crop_left + pad_left))
 
-    if crop_top or crop_left:
+    if u8_in:
+        # Bytes end-to-end: the padded source and tile DMAs stay uint8
+        # (4x less HBM than f32); the v/255 decode happens per tile
+        # in-kernel.  jnp.pad on bytes is cheap (quarter the traffic of
+        # the float pad it replaces).
+        src = jnp.pad(
+            image[..., crop_top:, crop_left:],
+            ((0, 0), (0, 0), (pad_top, pad_bottom), (pad_left, pad_right)),
+            mode="edge",
+        )
+    elif crop_top or crop_left:
         src = image.astype(dt)[..., crop_top:, crop_left:]
         src = jnp.pad(
             src,
@@ -559,7 +593,15 @@ def upscale_fused(
             # The tile is upcast to f32 once: every later tap shift and the
             # resolve run f32 (bf16-storage taps would otherwise pay a
             # down+up convert round trip per rolled tap plane).
-            tile3 = tile[:, :, :].astype(jnp.float32)  # (3, tih, tiw) stacked
+            t0 = tile[:, :, :]  # (3, tih, tiw) stacked
+            if u8_in:
+                # D3D UNORM decode v/255 (Mosaic has no u8<->f32 cast;
+                # int32 is the supported intermediate).
+                tile3 = t0.astype(jnp.int32).astype(jnp.float32) * jnp.float32(
+                    1.0 / 255.0
+                )
+            else:
+                tile3 = t0.astype(jnp.float32)
             if prologue == "srtm":
                 m = jnp.maximum(jnp.maximum(tile3[0], tile3[1]), tile3[2])
                 tile3 = tile3 * approx.rcp_fast(m + jnp.float32(1.0))[None]
@@ -633,7 +675,16 @@ def upscale_fused(
                 out_ref[0, :, :, :] = pltpu.bitcast(packed, jnp.bfloat16)
             else:
                 out_rows = [_riffle(res_ab[a], axis=2) for a in range(qy)]
-                out_ref[0, :, :, :] = _riffle(out_rows, axis=1).astype(dt)
+                x = _riffle(out_rows, axis=1)
+                if u8_out:
+                    # D3D UNORM encode floor(sat(v)*255 + 0.5) — with an
+                    # 8-bit TEPD epilogue the byte IS the display code.
+                    v = jnp.clip(x, 0.0, 1.0) * jnp.float32(255.0)
+                    out_ref[0, :, :, :] = jnp.floor(
+                        v + jnp.float32(0.5)
+                    ).astype(jnp.int32).astype(jnp.uint8)
+                else:
+                    out_ref[0, :, :, :] = x.astype(dt)
 
         if not pipelined:
             planes = compute_planes()
@@ -791,7 +842,7 @@ def upscale_fused(
         operands.append(grain_arr)
     operands = tuple(operands)
 
-    scratch_shapes = [pltpu.VMEM((3, tih, tiw), dt)]
+    scratch_shapes = [pltpu.VMEM((3, tih, tiw), jnp.uint8 if u8_in else dt)]
     if pipelined:
         # The plane buffer holds EASU output awaiting its RCAS pass.  It
         # stays f32: a bf16 buffer measured only ~0.5% faster and costs 27%
@@ -837,7 +888,7 @@ def upscale_fused(
         out_specs=pl.BlockSpec(
             (1, 3, qy * tj, qx * ti), out_idx, memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((nb, 3, hout, wout), dt),
+        out_shape=jax.ShapeDtypeStruct((nb, 3, hout, wout), out_dt),
         scratch_shapes=scratch_shapes,
         interpret=INTERPRET,
     )(*operands)

@@ -245,6 +245,38 @@ def main() -> int:
     )
     check_dither("gather epilogue", got, extras_chain(base_g, epi, grain_g, 7), 10)
 
+    # 7. uint8 I/O: byte source/tiles + D3D UNORM encode at the store,
+    # bit-identical to decode -> float kernel -> encode.
+    print("uint8 I/O:")
+    from fsr_tpu.utils import image as im
+
+    img8 = (rng.uniform(0, 1, (3, 270, 480)) * 255).astype(np.uint8)
+    con8 = EasuConstants.create((480, 270), None, (960, 540))
+    wantf = np.asarray(fused.upscale_fused(
+        jnp.asarray(im.from_uint8(img8)), (540, 960), con8, rcon))
+    got = np.asarray(fused.upscale_fused(
+        jnp.asarray(img8), (540, 960), con8, rcon, out_dtype=jnp.uint8))
+    d8 = int(np.abs(got.astype(np.int32)
+                    - im.to_uint8(wantf).astype(np.int32)).max())
+    ok = d8 == 0
+    print(f"  {'PASS' if ok else 'FAIL'} fused-2x u8->u8: max code dev {d8}")
+    if not ok:
+        failures.append("fused u8")
+    img8g = (rng.uniform(0, 1, (3, 360, 854)) * 255).astype(np.uint8)
+    con8g = EasuConstants.create((854, 360), None, (1281, 540))
+    wantg = np.asarray(easu_gather.easu_gather(
+        jnp.asarray(im.from_uint8(img8g)), (540, 1281), con8g, rcon,
+        apply_rcas=True))
+    gotg = np.asarray(easu_gather.easu_gather(
+        jnp.asarray(img8g), (540, 1281), con8g, rcon, apply_rcas=True,
+        out_dtype=jnp.uint8))
+    d8g = int(np.abs(gotg.astype(np.int32)
+                     - im.to_uint8(wantg).astype(np.int32)).max())
+    ok = d8g == 0
+    print(f"  {'PASS' if ok else 'FAIL'} gather u8->u8 (1.5x): max code dev {d8g}")
+    if not ok:
+        failures.append("gather u8")
+
     print("FAILURES:" if failures else "ALL PASS", failures or "")
     return 1 if failures else 0
 
