@@ -99,6 +99,18 @@ def main():
     except Exception as e:  # pragma: no cover
         print(f"bench config1 failed: {e}", file=sys.stderr)
 
+    # Byte-pipeline variant: uint8 in -> uint8 codes out, decoded/encoded
+    # in-kernel (bit-exact vs the float path + D3D UNORM codec).
+    try:
+        x8 = jnp.asarray(
+            (np.random.default_rng(7).random((3, hin, win)) * 255).astype(np.uint8)
+        )
+        f8 = jax.jit(lambda z: fused.upscale_fused(
+            z, out_hw, con, rcon, out_dtype=jnp.uint8))
+        extras["u8_to_u8_ms"] = round(device_ms(lambda: f8(x8)), 3)
+    except Exception as e:  # pragma: no cover
+        print(f"bench u8 failed: {e}", file=sys.stderr)
+
     # Config 4: full pipeline (SRTM -> EASU+RCAS -> LFGA -> TEPD 10-bit),
     # batch 16 @ 4K, with the grain/dither/transform epilogue fused into
     # the kernel writeback (UpscalePipeline wires this automatically).
