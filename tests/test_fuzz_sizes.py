@@ -65,3 +65,30 @@ def test_fuzz_dispatchable_kernels_match_xla(rng, in_hw, out_hw):
     # The XLA path always works; at least record what was exercised.
     assert want.shape == (3, *out_hw)
     del ran
+
+
+@pytest.mark.parametrize("in_hw,out_hw", _cases(13, 5))
+def test_fuzz_uint8_roundtrip(rng, in_hw, out_hw):
+    """u8 in/out must be bit-identical to decode -> float kernel -> encode
+    on every shape each kernel claims to support."""
+    from fsr_tpu.utils import image as im
+
+    img8 = (rng.uniform(0, 1, (3, *in_hw)) * 255).astype(np.uint8)
+    con = _con(in_hw, out_hw)
+    rcon = RcasConstants(0.25)
+    dec = jnp.asarray(im.from_uint8(img8))
+    if fused.supported((3, *in_hw), out_hw, con, jnp.float32,
+                       out_dtype=jnp.uint8):
+        want = im.to_uint8(np.asarray(
+            fused.upscale_fused(dec, out_hw, con, rcon)))
+        got = np.asarray(fused.upscale_fused(
+            jnp.asarray(img8), out_hw, con, rcon, out_dtype=jnp.uint8))
+        np.testing.assert_array_equal(got, want)
+    if easu_gather.supported((3, *in_hw), out_hw, con, jnp.float32,
+                             out_dtype=jnp.uint8):
+        want = im.to_uint8(np.asarray(easu_gather.easu_gather(
+            dec, out_hw, con, rcon, apply_rcas=True)))
+        got = np.asarray(easu_gather.easu_gather(
+            jnp.asarray(img8), out_hw, con, rcon, apply_rcas=True,
+            out_dtype=jnp.uint8))
+        np.testing.assert_array_equal(got, want)
