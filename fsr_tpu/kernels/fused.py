@@ -547,7 +547,6 @@ def upscale_fused(
         else:
             ty = pl.program_id(1)
             tx = pl.program_id(2)
-            sstep = tx
         if ny == 1:
             row0 = 0
         else:
@@ -577,7 +576,7 @@ def upscale_fused(
             return r
 
         def compute_planes():
-            """EASU phase planes for tile `txc`: planes[a][b] is (3, tih, ti)
+            """EASU phase planes for tile (ty, tx): planes[a][b] is (3, tih, ti)
             f32; plane col i = output plane col, rows [0, tj+2) valid (the
             one-row RCAS halo stays in-plane; rows are padded to tih by the
             vreg tiling either way)."""
@@ -653,7 +652,7 @@ def upscale_fused(
                 planes.append(row)
             return planes
 
-        def assemble_store(res_ab, out_tx):
+        def assemble_store(res_ab):
             if assemble == "xla":
                 return  # written where res_ab is produced
             if pack_bf16:
@@ -711,7 +710,7 @@ def upscale_fused(
                     for b in range(qx):
                         out_refs[a * qx + b][0, :, :, :] = res_ab[a][b].astype(dt)
             else:
-                assemble_store(res_ab, tx)
+                assemble_store(res_ab)
             return
 
         slot = jax.lax.rem(sstep, 2)
@@ -810,7 +809,7 @@ def upscale_fused(
                     res_ab[a][b] = res
                     if assemble == "xla":
                         out_refs[a * qx + b][0, :, :, :] = res.astype(dt)
-            assemble_store(res_ab, sstep - 1)
+            assemble_store(res_ab)
 
             # Ring update: tile tP's phase (a, qx-1) last column, consumed
             # as the left seam at the next step.  Skipped at step 0 — step
