@@ -117,8 +117,9 @@ def supported(in_shape, out_size, con: EasuConstants, compute_dtype,
         return False
     qy, qx = st[0], st[1]
     u8_out = out_dtype is not None and jnp.dtype(out_dtype) == jnp.uint8
-    pack = (not u8_out) and jnp.dtype(compute_dtype) == jnp.bfloat16 \
-        and qy in (2, 4)
+    pack = qy in (2, 4) and (
+        u8_out or jnp.dtype(compute_dtype) == jnp.bfloat16
+    )
     return _pick_tiles(hout // qy, wout // qx, qy, qx, pack=pack,
                        out8=u8_out) is not None
 
@@ -144,7 +145,7 @@ def _pick_tiles(hpl: int, wpl: int, qy: int, qx: int, pack: bool = False,
     while ti > wpl and ti > 1:
         ti //= 2
     if pack:
-        tj = 40
+        tj = 48 if out8 else 40  # u8 blocks need a 32-row granule
         while tj > hpl and tj > 8:
             tj -= 8
         if tj > hpl:  # very short images: fall back to pow2 shrink
@@ -407,7 +408,13 @@ def upscale_fused(
     hpl, wpl = hout // qy, wout // qx  # phase-plane extent
     pack_bf16 = (assemble == "kernel" and dt == jnp.bfloat16
                  and qy in (2, 4) and not u8_out)
-    tiles = _pick_tiles(hpl, wpl, qy, qx, pack=pack_bf16, out8=u8_out)
+    # uint8 output rides the same row-pack/packed-riffle assembly on
+    # *integer code* values: codes <= 255 are exact in bf16 (8 significand
+    # bits), so encode-then-pack is bit-identical to encode-after-riffle
+    # while keeping the packed path's half-width interleave.
+    pack_codes = assemble == "kernel" and u8_out and qy in (2, 4)
+    tiles = _pick_tiles(hpl, wpl, qy, qx, pack=pack_bf16 or pack_codes,
+                        out8=u8_out)
     if tiles is None:
         raise ValueError("no valid tile plan for this size (use impl='xla')")
     tj, ti = tiles
@@ -655,7 +662,14 @@ def upscale_fused(
         def assemble_store(res_ab):
             if assemble == "xla":
                 return  # written where res_ab is produced
-            if pack_bf16:
+            if pack_codes:
+                enc = lambda r: jnp.floor(
+                    jnp.clip(r, 0.0, 1.0) * jnp.float32(255.0)
+                    + jnp.float32(0.5)
+                )
+                res_ab = [[enc(res_ab[a][b]) for b in range(qx)]
+                          for a in range(qy)]
+            if pack_bf16 or pack_codes:
                 # Row phases pack into int32 (low16 = even row); the column
                 # riffle runs on the packed planes; the final sublane bitcast
                 # splits each int32 row into its two bf16 rows.
@@ -671,7 +685,13 @@ def upscale_fused(
                         )
                     cols.append(pb)
                 packed = _riffle(cols, axis=2)  # (3, qy*tj//2, qx*ti) int32
-                out_ref[0, :, :, :] = pltpu.bitcast(packed, jnp.bfloat16)
+                codes = pltpu.bitcast(packed, jnp.bfloat16)
+                if pack_codes:
+                    out_ref[0, :, :, :] = codes.astype(jnp.float32).astype(
+                        jnp.int32
+                    ).astype(jnp.uint8)
+                else:
+                    out_ref[0, :, :, :] = codes
             else:
                 out_rows = [_riffle(res_ab[a], axis=2) for a in range(qy)]
                 x = _riffle(out_rows, axis=1)
