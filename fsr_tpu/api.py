@@ -48,9 +48,9 @@ def _resolve_out_size(
 
 
 def _encode_u8(x):
-    """D3D UNORM encode floor(sat(x)*255 + 0.5), matching utils.image."""
-    v = jnp.clip(x.astype(jnp.float32), 0.0, 1.0) * jnp.float32(255.0)
-    return jnp.floor(v + jnp.float32(0.5)).astype(jnp.uint8)
+    from fsr_tpu.kernels.epilogue import encode_unorm8
+
+    return encode_unorm8(x)
 
 
 def _apply_epilogue_xla(out, epi, frame, grain):
@@ -140,6 +140,13 @@ def upscale(
     )
     rcon = RcasConstants(sharpness_stops=float(sharpness))
 
+    if out_dtype is not None and jnp.dtype(out_dtype) not in (
+        jnp.uint8, jnp.dtype(compute_dtype)
+    ):
+        raise ValueError(
+            "out_dtype must be uint8 or match compute_dtype "
+            f"(got {jnp.dtype(out_dtype)} vs {jnp.dtype(compute_dtype)})"
+        )
     use_pallas = False
     if impl in ("auto", "pallas"):
         from fsr_tpu.kernels import dispatch as kdispatch
@@ -315,37 +322,44 @@ class UpscalePipeline:
         self.compute_dtype = compute_dtype
         self.impl = impl
         self.out_dtype = out_dtype
-        self._grain_cache = None
+        self._grain_cache = []
 
     def _planar_grain(self, grain, in_hw):
         """Phase-planar grain for the 2x kernel, cached per (grain, size).
 
         The planarize transpose costs a full-frame pass, so it runs once
-        per grain texture (keyed on object identity — reuse the same array
-        across frames).  Returns None when the fused kernel's phase
-        structure doesn't apply (the gather kernel takes plain grain) or
-        when `grain` is a tracer (jitted per-frame grain: pass
-        grain_planar to upscale() yourself to avoid the per-call cost).
+        per grain texture.  The cache holds the grain array itself and
+        compares identity (a bare id() key could be recycled after the
+        array is collected and silently serve a stale texture); a few
+        entries are kept so alternating grain pages don't thrash.
+        Returns None off-TPU (only the fused kernel consumes the planar
+        layout), when the phase structure doesn't apply (the gather
+        kernel takes plain grain), or when `grain` is a tracer (jitted
+        per-frame grain: pass grain_planar to upscale() yourself).
         """
-        from fsr_tpu.kernels import fused
+        from fsr_tpu.kernels import dispatch, fused
 
+        if not dispatch._on_tpu():
+            return None
         try:
             is_tracer = isinstance(grain, jax.core.Tracer)
         except AttributeError:  # pragma: no cover - jax.core moved
             is_tracer = False
-        key = (id(grain), tuple(in_hw))
-        if not is_tracer and self._grain_cache is not None \
-                and self._grain_cache[0] == key:
-            return self._grain_cache[1]
+        in_hw = tuple(in_hw)
+        if not is_tracer:
+            for g, hw, gp in self._grain_cache:
+                if g is grain and hw == in_hw:
+                    return gp
         con = EasuConstants.create(
             (in_hw[1], in_hw[0]), None, (self.out_size[1], self.out_size[0])
         )
-        try:
-            gp = fused.planarize_grain(grain, self.out_size, con)
-        except ValueError:
-            gp = None
+        if not fused.supported((3, *in_hw), self.out_size, con,
+                               self.compute_dtype, out_dtype=self.out_dtype):
+            return None
+        gp = fused.planarize_grain(grain, self.out_size, con)
         if not is_tracer:
-            self._grain_cache = (key, gp)
+            self._grain_cache = ([(grain, in_hw, gp)]
+                                 + self._grain_cache)[:4]
         return gp
 
     def __call__(self, image, grain=None, frame=0):
@@ -397,4 +411,6 @@ class UpscalePipeline:
             x = extras.tepd_quantize(x.astype(jnp.float32), dit, bits=self.dither_bits)
             if u8_out:
                 x = _encode_u8(x)
+            elif self.out_dtype is not None:
+                x = x.astype(self.out_dtype)
         return x

@@ -96,6 +96,10 @@ def main(argv=None) -> int:
 
     use_pipeline = (args.hdr or args.gamma2_out or args.grain
                     or args.dither_bits is not None)
+    if use_pipeline and args.mode != "fsr":
+        print(f"error: --hdr/--gamma2-out/--grain/--dither-bits require "
+              f"--mode fsr (got --mode {args.mode})", file=sys.stderr)
+        return 2
     pipe = grain_tex = None
     if use_pipeline and args.mode == "fsr":
         pipe = api.UpscalePipeline(

@@ -400,10 +400,7 @@ def easu_gather(
 
         def store_cast(res):
             if u8_out:
-                v = jnp.clip(res, 0.0, 1.0) * jnp.float32(255.0)
-                return jnp.floor(v + jnp.float32(0.5)).astype(
-                    jnp.int32
-                ).astype(jnp.uint8)
+                return epilogue_mod.encode_unorm8(res)
             return res.astype(dt)
 
         def run_epilogue(res, out_ty, out_tx):

@@ -25,7 +25,15 @@ import numpy as np
 
 from fsr_tpu.core import approx
 
-__all__ = ["Epilogue", "apply"]
+__all__ = ["Epilogue", "apply", "encode_unorm8"]
+
+
+def encode_unorm8(x):
+    """D3D UNORM uint8 encode: floor(sat(x)*255 + 0.5), matching
+    utils.image.to_uint8 bit-for-bit.  Routed through int32 (Mosaic has
+    no f32<->u8 cast); identical on XLA backends."""
+    v = jnp.clip(x.astype(jnp.float32), 0.0, 1.0) * jnp.float32(255.0)
+    return jnp.floor(v + jnp.float32(0.5)).astype(jnp.int32).astype(jnp.uint8)
 
 # Golden-ratio ordered dither constants (FsrTepdDitF, ffx_fsr1.h:1086-1094).
 _DIT_A = np.float32((1.0 + np.sqrt(np.float64(5.0))) / 2.0)

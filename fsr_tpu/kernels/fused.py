@@ -663,6 +663,8 @@ def upscale_fused(
             if assemble == "xla":
                 return  # written where res_ab is produced
             if pack_codes:
+                # Integer code values (kept f32 for the bf16 row pack —
+                # codes <= 255 are exact in bf16).
                 enc = lambda r: jnp.floor(
                     jnp.clip(r, 0.0, 1.0) * jnp.float32(255.0)
                     + jnp.float32(0.5)
@@ -696,12 +698,8 @@ def upscale_fused(
                 out_rows = [_riffle(res_ab[a], axis=2) for a in range(qy)]
                 x = _riffle(out_rows, axis=1)
                 if u8_out:
-                    # D3D UNORM encode floor(sat(v)*255 + 0.5) — with an
-                    # 8-bit TEPD epilogue the byte IS the display code.
-                    v = jnp.clip(x, 0.0, 1.0) * jnp.float32(255.0)
-                    out_ref[0, :, :, :] = jnp.floor(
-                        v + jnp.float32(0.5)
-                    ).astype(jnp.int32).astype(jnp.uint8)
+                    # With an 8-bit TEPD epilogue the byte IS the code.
+                    out_ref[0, :, :, :] = epilogue_mod.encode_unorm8(x)
                 else:
                     out_ref[0, :, :, :] = x.astype(dt)
 

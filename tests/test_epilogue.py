@@ -226,13 +226,27 @@ def test_pipeline_hdr_out_roundtrip(rng):
     np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=1e-5, rtol=0)
 
 
-def test_pipeline_grain_cache(rng):
+def test_pipeline_grain_cache(rng, monkeypatch):
+    from fsr_tpu.kernels import dispatch
+
+    monkeypatch.setattr(dispatch, "_on_tpu", lambda: True)
     in_hw, out_hw = (40, 144), (80, 288)
-    img = rng.uniform(0, 1, (3, *in_hw)).astype(np.float32)
     grain = jnp.asarray(rng.uniform(-0.5, 0.5, (3, *out_hw)).astype(np.float32))
     pipe = fsr_tpu.UpscalePipeline(out_hw, grain_amount=0.2)
-    pipe(jnp.asarray(img), grain=grain)
-    cached = pipe._grain_cache
-    assert cached is not None and cached[1] is not None
-    pipe(jnp.asarray(img), grain=grain)
-    assert pipe._grain_cache is cached  # no recompute for the same texture
+    gp1 = pipe._planar_grain(grain, in_hw)
+    assert gp1 is not None and len(pipe._grain_cache) == 1
+    assert pipe._planar_grain(grain, in_hw) is gp1  # identity cache hit
+    # a different texture gets its own entry; the first stays valid
+    grain2 = jnp.asarray(rng.uniform(-0.5, 0.5, (3, *out_hw)).astype(np.float32))
+    gp2 = pipe._planar_grain(grain2, in_hw)
+    assert gp2 is not gp1 and len(pipe._grain_cache) == 2
+    assert pipe._planar_grain(grain, in_hw) is gp1
+
+
+def test_pipeline_grain_cache_off_tpu(rng):
+    # Off-TPU the planar layout has no consumer: no eager transpose.
+    in_hw, out_hw = (40, 144), (80, 288)
+    grain = jnp.asarray(rng.uniform(-0.5, 0.5, (3, *out_hw)).astype(np.float32))
+    pipe = fsr_tpu.UpscalePipeline(out_hw, grain_amount=0.2)
+    assert pipe._planar_grain(grain, in_hw) is None
+    assert pipe._grain_cache == []
