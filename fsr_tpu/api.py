@@ -141,10 +141,10 @@ def upscale(
     rcon = RcasConstants(sharpness_stops=float(sharpness))
 
     if out_dtype is not None and jnp.dtype(out_dtype) not in (
-        jnp.uint8, jnp.dtype(compute_dtype)
+        jnp.uint8, jnp.uint16, jnp.dtype(compute_dtype)
     ):
         raise ValueError(
-            "out_dtype must be uint8 or match compute_dtype "
+            "out_dtype must be uint8/uint16 or match compute_dtype "
             f"(got {jnp.dtype(out_dtype)} vs {jnp.dtype(compute_dtype)})"
         )
     use_pallas = False
@@ -165,6 +165,7 @@ def upscale(
     # kernel and the XLA path, so impl="auto" gives identical results.
     u8_in = image.dtype == jnp.uint8
     u8_out = out_dtype is not None and jnp.dtype(out_dtype) == jnp.uint8
+    u16_out = out_dtype is not None and jnp.dtype(out_dtype) == jnp.uint16
     alpha = None
     rgb = image
     if image.shape[-3] == 4:
@@ -199,11 +200,19 @@ def upscale(
             out = _apply_epilogue_xla(out, epilogue, frame, grain)
         if u8_out:
             out = _encode_u8(out)
+        elif u16_out:
+            from fsr_tpu.kernels.epilogue import encode_unorm10
+
+            out = encode_unorm10(out)
         elif out_dtype is not None:
             out = out.astype(out_dtype)
     if alpha is not None:
         if u8_out:
             alpha = _encode_u8(alpha)
+        elif u16_out:
+            from fsr_tpu.kernels.epilogue import encode_unorm10
+
+            alpha = encode_unorm10(alpha)
         out = jnp.concatenate([out, alpha.astype(out.dtype)], axis=-3)
 
     if layout == "HWC":
@@ -296,10 +305,11 @@ class UpscalePipeline:
         impl: str = "auto",
         out_dtype=None,
     ):
-        if out_dtype is not None and jnp.dtype(out_dtype) == jnp.uint8:
+        if out_dtype is not None and jnp.dtype(out_dtype) in (jnp.uint8,
+                                                              jnp.uint16):
             if hdr_out:
-                raise ValueError("uint8 output cannot hold HDR values")
-            if dither_bits == 10:
+                raise ValueError("integer output cannot hold HDR values")
+            if dither_bits == 10 and jnp.dtype(out_dtype) == jnp.uint8:
                 raise ValueError("uint8 output cannot hold 10-bit codes")
         if hdr_out and not hdr_srtm:
             raise ValueError("hdr_out=True requires hdr_srtm=True")
@@ -374,11 +384,14 @@ class UpscalePipeline:
         # (modular page lookup) stays an XLA pass either way.
         u8_out = (self.out_dtype is not None
                   and jnp.dtype(self.out_dtype) == jnp.uint8)
+        u16_out = (self.out_dtype is not None
+                   and jnp.dtype(self.out_dtype) == jnp.uint16)
         fuse_dither = (
             self.dither_bits is not None
             and self.dither_texture is None
             and (jnp.dtype(self.compute_dtype) == jnp.float32
-                 or (u8_out and self.dither_bits == 8))
+                 or (u8_out and self.dither_bits == 8)
+                 or u16_out)
         )
         epi = Epilogue(
             transform=("srtm_inv" if self.hdr_out
@@ -411,6 +424,10 @@ class UpscalePipeline:
             x = extras.tepd_quantize(x.astype(jnp.float32), dit, bits=self.dither_bits)
             if u8_out:
                 x = _encode_u8(x)
+            elif u16_out:
+                from fsr_tpu.kernels.epilogue import encode_unorm10
+
+                x = encode_unorm10(x)
             elif self.out_dtype is not None:
                 x = x.astype(self.out_dtype)
         return x

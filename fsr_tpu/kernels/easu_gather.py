@@ -82,11 +82,15 @@ def supported(in_shape, out_size, con: EasuConstants, compute_dtype,
     hin, win = in_shape[-2:]
     if hout < 16 or wout < 128:
         return False
-    if out_dtype is not None and jnp.dtype(out_dtype) == jnp.uint8:
-        # 8-bit output blocks need a 32-row sublane granule.
+    if out_dtype is not None and jnp.dtype(out_dtype) in (jnp.uint8,
+                                                          jnp.uint16):
+        # 8/16-bit output blocks need a 32/16-row sublane granule.
+        o8 = jnp.dtype(out_dtype) == jnp.uint8
+        gran = 32 if o8 else 16
         for rc in (True, False):
-            tj, _ = _pick_tiles(hout, wout, apply_rcas=rc, out8=True)
-            if tj % 32 and tj != hout:
+            tj, _ = _pick_tiles(hout, wout, apply_rcas=rc, out8=o8,
+                                out16=not o8)
+            if tj % gran and tj != hout:
                 return False
     # EASU contract: 1x to 4x area scaling (ffx_fsr1.h:40); the tile-window
     # math below also assumes no downscale.
@@ -94,17 +98,18 @@ def supported(in_shape, out_size, con: EasuConstants, compute_dtype,
 
 
 def _pick_tiles(hout: int, wout: int, apply_rcas: bool = False,
-                out8: bool = False):
+                out8: bool = False, out16: bool = False):
     """On-device sweep (v5e, 1.5x -> 4K): the fused EASU+RCAS pipeline is
     fastest at (120, 384) — tj=120 makes the 2-row RCAS halo round to one
     extra sublane granule (128 rows, +6.7%) instead of +12.5% at tj=64, and
     ti=384 amortizes per-step scratch traffic without the VMEM spills that
     set in at ti>=512 (re-confirmed over tj 56..216 x ti 128..512 after the
     col-gather/hybrid rewrites).  The EASU-only kernel keeps (64, 256).
-    out8: uint8 output blocks need a 32-row granule -> tj=96."""
+    out8/out16: uint8/uint16 output blocks need a 32/16-row granule ->
+    tj=96/112."""
     if apply_rcas:
         ti = 384 if wout >= 384 else (256 if wout >= 256 else 128)
-        tj = 96 if out8 else 120
+        tj = 96 if out8 else (112 if out16 else 120)
         while tj > hout and tj > 8:
             tj = 8 * ((tj // 2) // 8) or 8
         return tj, ti
@@ -221,12 +226,16 @@ def easu_gather(
     u8_in = image.dtype == jnp.uint8
     out_dt = jnp.dtype(out_dtype) if out_dtype is not None else dt
     u8_out = out_dt == jnp.uint8
-    if out_dt != dt and not u8_out:
-        raise ValueError("out_dtype must be uint8 or match compute_dtype")
+    u16_out = out_dt == jnp.uint16
+    if out_dt != dt and not (u8_out or u16_out):
+        raise ValueError(
+            "out_dtype must be uint8/uint16 or match compute_dtype"
+        )
     hout, wout = out_size
     hin, win = image.shape[-2:]
     fx, fy, px, py = easu_coords(con, out_size)
-    tj, ti = _pick_tiles(hout, wout, apply_rcas=apply_rcas, out8=u8_out)
+    tj, ti = _pick_tiles(hout, wout, apply_rcas=apply_rcas, out8=u8_out,
+                         out16=u16_out)
     # Hybrid X-phase mode: when the X mapping is exactly rational (stride
     # source texels per qx outputs — e.g. the Quality 1.5x preset is
     # stride 2 / qx 3), column taps become rolls of stride-deinterleaved
@@ -401,6 +410,8 @@ def easu_gather(
         def store_cast(res):
             if u8_out:
                 return epilogue_mod.encode_unorm8(res)
+            if u16_out:
+                return epilogue_mod.encode_unorm10(res)
             return res.astype(dt)
 
         def run_epilogue(res, out_ty, out_tx):

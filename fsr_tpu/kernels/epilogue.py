@@ -25,15 +25,27 @@ import numpy as np
 
 from fsr_tpu.core import approx
 
-__all__ = ["Epilogue", "apply", "encode_unorm8"]
+__all__ = ["Epilogue", "apply", "encode_unorm8", "encode_unorm10",
+           "encode_unorm_codes"]
+
+
+def encode_unorm_codes(x, max_code: int):
+    """D3D UNORM integer codes floor(sat(x)*max_code + 0.5) as int32
+    (matching utils.image.to_uint8/to_uint10 bit-for-bit)."""
+    v = jnp.clip(x.astype(jnp.float32), 0.0, 1.0) * jnp.float32(max_code)
+    return jnp.floor(v + jnp.float32(0.5)).astype(jnp.int32)
 
 
 def encode_unorm8(x):
-    """D3D UNORM uint8 encode: floor(sat(x)*255 + 0.5), matching
-    utils.image.to_uint8 bit-for-bit.  Routed through int32 (Mosaic has
-    no f32<->u8 cast); identical on XLA backends."""
-    v = jnp.clip(x.astype(jnp.float32), 0.0, 1.0) * jnp.float32(255.0)
-    return jnp.floor(v + jnp.float32(0.5)).astype(jnp.int32).astype(jnp.uint8)
+    """uint8 UNORM encode; int32 intermediate (Mosaic has no f32<->u8
+    cast); identical on XLA backends."""
+    return encode_unorm_codes(x, 255).astype(jnp.uint8)
+
+
+def encode_unorm10(x):
+    """10-bit UNORM codes in uint16 — the RGB10A2 render-target analog
+    (the sample's HDR output format, SampleRenderer.cpp:193)."""
+    return encode_unorm_codes(x, 1023).astype(jnp.uint16)
 
 # Golden-ratio ordered dither constants (FsrTepdDitF, ffx_fsr1.h:1086-1094).
 _DIT_A = np.float32((1.0 + np.sqrt(np.float64(5.0))) / 2.0)

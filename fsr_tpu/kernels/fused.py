@@ -116,16 +116,18 @@ def supported(in_shape, out_size, con: EasuConstants, compute_dtype,
     if st is None:
         return False
     qy, qx = st[0], st[1]
-    u8_out = out_dtype is not None and jnp.dtype(out_dtype) == jnp.uint8
+    odt = jnp.dtype(out_dtype) if out_dtype is not None else None
+    u8_out = odt == jnp.uint8
+    u16_out = odt == jnp.uint16
     pack = qy in (2, 4) and (
-        u8_out or jnp.dtype(compute_dtype) == jnp.bfloat16
+        u8_out or u16_out or jnp.dtype(compute_dtype) == jnp.bfloat16
     )
     return _pick_tiles(hout // qy, wout // qx, qy, qx, pack=pack,
-                       out8=u8_out) is not None
+                       out8=u8_out, out16=u16_out) is not None
 
 
 def _pick_tiles(hpl: int, wpl: int, qy: int, qx: int, pack: bool = False,
-                out8: bool = False):
+                out8: bool = False, out16: bool = False):
     """Plane-space tile sizes (TJ rows, TI cols per phase), or None.
 
     Column extents must be powers of two (butterfly riffle); rows too on
@@ -164,6 +166,8 @@ def _pick_tiles(hpl: int, wpl: int, qy: int, qx: int, pack: bool = False,
     if (qy * tj) % 8 and qy * tj != hout:
         return None
     if out8 and (qy * tj) % 32 and qy * tj != hout:
+        return None
+    if out16 and (qy * tj) % 16 and qy * tj != hout:
         return None
     # Input DMA offsets (ty*tj, tx*ti) must be provably (8, 128)-aligned
     # unless there is only one tile along that axis.
@@ -394,10 +398,13 @@ def upscale_fused(
     u8_in = image.dtype == jnp.uint8
     out_dt = jnp.dtype(out_dtype) if out_dtype is not None else dt
     u8_out = out_dt == jnp.uint8
-    if u8_out and assemble != "kernel":
-        raise ValueError("uint8 output requires assemble='kernel'")
-    if out_dt != dt and not u8_out:
-        raise ValueError("out_dtype must be uint8 or match compute_dtype")
+    u16_out = out_dt == jnp.uint16
+    if (u8_out or u16_out) and assemble != "kernel":
+        raise ValueError("integer output requires assemble='kernel'")
+    if out_dt != dt and not (u8_out or u16_out):
+        raise ValueError(
+            "out_dtype must be uint8/uint16 or match compute_dtype"
+        )
     hout, wout = out_size
     hin, win = image.shape[-2:]
     st = _phase_structure(con, out_size)
@@ -413,8 +420,14 @@ def upscale_fused(
     # bits), so encode-then-pack is bit-identical to encode-after-riffle
     # while keeping the packed path's half-width interleave.
     pack_codes = assemble == "kernel" and u8_out and qy in (2, 4)
-    tiles = _pick_tiles(hpl, wpl, qy, qx, pack=pack_bf16 or pack_codes,
-                        out8=u8_out)
+    # uint16 output (10-bit UNORM codes — the RGB10A2 render-target
+    # analog) packs two int32 code halves per word and bitcasts: all
+    # integer ops, exact for any code value.
+    pack_codes16 = assemble == "kernel" and u16_out and qy in (2, 4)
+    tiles = _pick_tiles(
+        hpl, wpl, qy, qx, pack=pack_bf16 or pack_codes or pack_codes16,
+        out8=u8_out, out16=u16_out,
+    )
     if tiles is None:
         raise ValueError("no valid tile plan for this size (use impl='xla')")
     tj, ti = tiles
@@ -671,6 +684,32 @@ def upscale_fused(
                 )
                 res_ab = [[enc(res_ab[a][b]) for b in range(qx)]
                           for a in range(qy)]
+            if pack_codes16:
+                # int32 code pairs per word: row 2k in the low half,
+                # 2k+1 in the high half — the u16 sublane bitcast splits
+                # them back out, mirroring the bf16 row-pack trick with
+                # pure integer ops (exact for any code).
+                codes_ab = [[epilogue_mod.encode_unorm_codes(
+                    res_ab[a][b], 1023) for b in range(qx)]
+                    for a in range(qy)]
+                cols = []
+                for b in range(qx):
+                    def pk(lo, hi):
+                        return jnp.bitwise_or(
+                            lo, jax.lax.shift_left(hi, 16)
+                        )
+                    if qy == 2:
+                        pb = pk(codes_ab[0][b], codes_ab[1][b])
+                    else:  # qy == 4
+                        pb = _riffle2(
+                            pk(codes_ab[0][b], codes_ab[1][b]),
+                            pk(codes_ab[2][b], codes_ab[3][b]),
+                            axis=1,
+                        )
+                    cols.append(pb)
+                packed = _riffle(cols, axis=2)
+                out_ref[0, :, :, :] = pltpu.bitcast(packed, jnp.uint16)
+                return
             if pack_bf16 or pack_codes:
                 # Row phases pack into int32 (low16 = even row); the column
                 # riffle runs on the packed planes; the final sublane bitcast
@@ -700,6 +739,8 @@ def upscale_fused(
                 if u8_out:
                     # With an 8-bit TEPD epilogue the byte IS the code.
                     out_ref[0, :, :, :] = epilogue_mod.encode_unorm8(x)
+                elif u16_out:
+                    out_ref[0, :, :, :] = epilogue_mod.encode_unorm10(x)
                 else:
                     out_ref[0, :, :, :] = x.astype(dt)
 

@@ -135,3 +135,54 @@ def test_out_dtype_guard(rng):
     with pytest.raises(ValueError):
         fused.upscale_fused(jnp.asarray(img), out_hw, con, rcon,
                             compute_dtype=jnp.bfloat16, out_dtype=jnp.float32)
+
+
+def test_fused_u16_out_codes(rng):
+    in_hw, out_hw = (40, 144), (80, 288)
+    img = rng.uniform(0, 1, (3, *in_hw)).astype(np.float32)
+    con, rcon = _con(in_hw, out_hw), RcasConstants(0.25)
+    want = im.to_uint10(np.asarray(
+        fused.upscale_fused(jnp.asarray(img), out_hw, con, rcon)))
+    got = np.asarray(fused.upscale_fused(
+        jnp.asarray(img), out_hw, con, rcon, out_dtype=jnp.uint16))
+    assert got.dtype == np.uint16
+    np.testing.assert_array_equal(got, want)
+
+
+def test_fused_u16_dithered_10bit_codes(rng):
+    in_hw, out_hw = (40, 144), (80, 288)
+    img = rng.uniform(0, 1, (3, *in_hw)).astype(np.float32)
+    con, rcon = _con(in_hw, out_hw), RcasConstants(0.25)
+    base = fused.upscale_fused(jnp.asarray(img), out_hw, con, rcon)
+    want = im.to_uint10(np.asarray(xtr.tepd_quantize(
+        base, xtr.tepd_dither(out_hw, 4), bits=10)))
+    got = np.asarray(fused.upscale_fused(
+        jnp.asarray(img), out_hw, con, rcon, out_dtype=jnp.uint16,
+        epilogue=Epilogue(dither_bits=10), frame=4))
+    d = np.abs(got.astype(int) - want.astype(int))
+    assert (d > 0).sum() <= 4 and d.max() <= 1  # knife-edge flips
+
+
+def test_gather_u16_roundtrip(rng):
+    in_hw, out_hw = (48, 160), (72, 240)
+    img = rng.uniform(0, 1, (3, *in_hw)).astype(np.float32)
+    con, rcon = _con(in_hw, out_hw), RcasConstants(0.25)
+    want = im.to_uint10(np.asarray(easu_gather.easu_gather(
+        jnp.asarray(img), out_hw, con, rcon, apply_rcas=True)))
+    got = np.asarray(easu_gather.easu_gather(
+        jnp.asarray(img), out_hw, con, rcon, apply_rcas=True,
+        out_dtype=jnp.uint16))
+    assert got.dtype == np.uint16
+    np.testing.assert_array_equal(got, want)
+
+
+def test_pipeline_u16_display_codes(rng):
+    in_hw, out_hw = (40, 144), (80, 288)
+    img8 = (rng.uniform(0, 1, (3, *in_hw)) * 255).astype(np.uint8)
+    pipe = fsr_tpu.UpscalePipeline(out_hw, dither_bits=10,
+                                   out_dtype=jnp.uint16)
+    out = np.asarray(pipe(jnp.asarray(img8), frame=2))
+    assert out.dtype == np.uint16 and out.shape == (3, *out_hw)
+    x = fsr_tpu.upscale(jnp.asarray(im.from_uint8(img8)), out_size=out_hw)
+    x = xtr.tepd_quantize(x, xtr.tepd_dither(out_hw, 2), bits=10)
+    np.testing.assert_array_equal(out, im.to_uint10(np.asarray(x)))

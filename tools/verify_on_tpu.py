@@ -277,6 +277,25 @@ def main() -> int:
     if not ok:
         failures.append("gather u8")
 
+    # uint16 (10-bit UNORM codes, the RGB10A2 analog), integer-packed.
+    got16 = np.asarray(fused.upscale_fused(
+        jnp.asarray(img8), (540, 960), con8, rcon, out_dtype=jnp.uint16))
+    d16 = int(np.abs(got16.astype(np.int32)
+                     - im.to_uint10(wantf).astype(np.int32)).max())
+    ok = d16 == 0
+    print(f"  {'PASS' if ok else 'FAIL'} fused-2x u8->u16 codes: max dev {d16}")
+    if not ok:
+        failures.append("fused u16")
+    got16g = np.asarray(easu_gather.easu_gather(
+        jnp.asarray(img8g), (540, 1281), con8g, rcon, apply_rcas=True,
+        out_dtype=jnp.uint16))
+    d16g = int(np.abs(got16g.astype(np.int32)
+                      - im.to_uint10(wantg).astype(np.int32)).max())
+    ok = d16g == 0
+    print(f"  {'PASS' if ok else 'FAIL'} gather u8->u16 codes: max dev {d16g}")
+    if not ok:
+        failures.append("gather u16")
+
     print("FAILURES:" if failures else "ALL PASS", failures or "")
     return 1 if failures else 0
 
