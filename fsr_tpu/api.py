@@ -53,7 +53,7 @@ def _encode_u8(x):
     return encode_unorm8(x)
 
 
-def _apply_epilogue_xla(out, epi, frame, grain):
+def _apply_epilogue_xla(out, epi, frame, grain, dither_page=None):
     """XLA-path twin of the kernels' fused epilogue (same f32 math, same
     approximation choices — see kernels/epilogue.py)."""
     dt = out.dtype
@@ -67,7 +67,14 @@ def _apply_epilogue_xla(out, epi, frame, grain):
             raise ValueError("epilogue.grain_amount != 0 requires grain")
         x = extras.lfga(x, jnp.asarray(grain, jnp.float32), epi.grain_amount)
     if epi.dither_bits is not None:
-        dit = extras.tepd_dither(x.shape[-2:], 0 if frame is None else frame)
+        if epi.dither_texture:
+            if dither_page is None:
+                raise ValueError("epilogue.dither_texture requires dither_page")
+            dit = extras.texture_dither(x.shape[-2:], 0, dither_page)
+        else:
+            dit = extras.tepd_dither(
+                x.shape[-2:], 0 if frame is None else frame
+            )
         x = extras.tepd_quantize(x, dit, bits=epi.dither_bits)
     return x.astype(dt)
 
@@ -91,6 +98,7 @@ def upscale(
     grain_planar=None,
     prologue: str = "none",
     out_dtype=None,
+    dither_page=None,
 ) -> jnp.ndarray:
     """FSR 1.0 upscale: EASU + optional RCAS.
 
@@ -185,6 +193,7 @@ def upscale(
             apply_rcas=apply_rcas, denoise=denoise, compute_dtype=compute_dtype,
             epilogue=epilogue, frame=frame, grain=grain,
             grain_planar=grain_planar, prologue=prologue, out_dtype=out_dtype,
+            dither_page=dither_page,
         )
     else:
         if u8_in:
@@ -197,7 +206,8 @@ def upscale(
         if apply_rcas:
             out = rcas_ops.rcas(out, rcon, denoise=denoise, compute_dtype=compute_dtype)
         if epilogue is not None:
-            out = _apply_epilogue_xla(out, epilogue, frame, grain)
+            out = _apply_epilogue_xla(out, epilogue, frame, grain,
+                                      dither_page=dither_page)
         if u8_out:
             out = _encode_u8(out)
         elif u16_out:
@@ -379,43 +389,71 @@ class UpscalePipeline:
         use_grain = bool(self.grain_amount) and grain is not None
         # TEPD codes are k/255 or k/1023 levels: 16-bit storage cannot hold
         # the 10-bit codes near white, so the dither fuses into the kernel
-        # only when the output dtype is f32 — or uint8 with 8-bit codes,
-        # where the stored byte IS the code; the texture-dither variant
-        # (modular page lookup) stays an XLA pass either way.
+        # only when the output dtype can hold the codes exactly (f32,
+        # uint8 for 8-bit, uint16 for either).  The texture variant fuses
+        # too when the page is the sample's 128x128 shape (its tiling then
+        # reduces to periodic slices in-kernel); other page sizes run as
+        # an XLA after-pass.
         u8_out = (self.out_dtype is not None
                   and jnp.dtype(self.out_dtype) == jnp.uint8)
         u16_out = (self.out_dtype is not None
                    and jnp.dtype(self.out_dtype) == jnp.uint16)
+        tex = self.dither_texture
+        tex_fusible = tex is not None and tuple(tex.shape[-2:]) == (128, 128)
         fuse_dither = (
             self.dither_bits is not None
-            and self.dither_texture is None
+            and (tex is None or tex_fusible)
             and (jnp.dtype(self.compute_dtype) == jnp.float32
                  or (u8_out and self.dither_bits == 8)
                  or u16_out)
         )
-        epi = Epilogue(
-            transform=("srtm_inv" if self.hdr_out
-                       else "gamma2" if self.gamma2_out else "none"),
-            grain_amount=self.grain_amount if use_grain else 0.0,
-            dither_bits=self.dither_bits if fuse_dither else None,
-        )
-        gp = self._planar_grain(grain, x.shape[-2:]) if use_grain else None
-        x = upscale(
-            x,
-            out_size=self.out_size,
-            sharpness=self.sharpness,
-            apply_rcas=self.apply_rcas,
-            denoise=self.denoise,
-            compute_dtype=self.compute_dtype,
-            impl=self.impl,
-            epilogue=None if epi.is_noop else epi,
-            frame=frame,
-            grain=grain if use_grain else None,
-            grain_planar=gp,
-            prologue="srtm" if self.hdr_srtm else "none",
-            out_dtype=self.out_dtype if (fuse_dither or
-                                         self.dither_bits is None) else None,
-        )
+
+        def run(fuse):
+            epi = Epilogue(
+                transform=("srtm_inv" if self.hdr_out
+                           else "gamma2" if self.gamma2_out else "none"),
+                grain_amount=self.grain_amount if use_grain else 0.0,
+                dither_bits=self.dither_bits if fuse else None,
+                dither_texture=fuse and tex is not None,
+            )
+            page = None
+            if fuse and tex is not None:
+                t3 = tex if tex.ndim == 3 else tex[None]
+                page = jax.lax.dynamic_index_in_dim(
+                    t3, jnp.asarray(frame, jnp.int32) % t3.shape[0],
+                    axis=0, keepdims=False,
+                )
+            gp = (self._planar_grain(grain, x.shape[-2:])
+                  if use_grain else None)
+            return upscale(
+                x,
+                out_size=self.out_size,
+                sharpness=self.sharpness,
+                apply_rcas=self.apply_rcas,
+                denoise=self.denoise,
+                compute_dtype=self.compute_dtype,
+                impl=self.impl,
+                epilogue=None if epi.is_noop else epi,
+                frame=frame,
+                grain=grain if use_grain else None,
+                grain_planar=gp,
+                prologue="srtm" if self.hdr_srtm else "none",
+                out_dtype=self.out_dtype if (fuse or
+                                             self.dither_bits is None)
+                else None,
+                dither_page=page,
+            )
+
+        if fuse_dither:
+            try:
+                x = run(True)
+            except ValueError:
+                # e.g. a tile plan the 128-wide page cannot tile into
+                # (very narrow outputs): fall back to the XLA after-pass.
+                fuse_dither = False
+                x = run(False)
+        else:
+            x = run(False)
         if self.dither_bits is not None and not fuse_dither:
             if self.dither_texture is not None:
                 dit = extras.texture_dither(self.out_size, frame, self.dither_texture)

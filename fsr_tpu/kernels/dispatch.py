@@ -52,6 +52,7 @@ def upscale_fused(
     grain_planar=None,
     prologue: str = "none",
     out_dtype=None,
+    dither_page=None,
 ):
     """Dispatch to the right fused kernel.
 
@@ -73,7 +74,7 @@ def upscale_fused(
             image, out_size, con, rcon,
             apply_rcas=apply_rcas, denoise=denoise, compute_dtype=compute_dtype,
             epilogue=epilogue, frame=frame, grain_planar=gp,
-            prologue=prologue, out_dtype=out_dtype,
+            prologue=prologue, out_dtype=out_dtype, dither_page=dither_page,
         )
     # Arbitrary ratio: one-hot MXU gather EASU with RCAS fused via the
     # one-tile software pipeline (no intermediate HBM round trip).
@@ -81,5 +82,5 @@ def upscale_fused(
         image, out_size, con, rcon=rcon, apply_rcas=apply_rcas,
         denoise=denoise, compute_dtype=compute_dtype,
         epilogue=epilogue, frame=frame, grain=grain, prologue=prologue,
-        out_dtype=out_dtype,
+        out_dtype=out_dtype, dither_page=dither_page,
     )

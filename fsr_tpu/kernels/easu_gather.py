@@ -198,6 +198,7 @@ def easu_gather(
     grain=None,
     prologue: str = "none",
     out_dtype=None,
+    dither_page=None,
 ) -> jnp.ndarray:
     """EASU upscale (optionally + fused RCAS) for arbitrary ratios.
 
@@ -384,6 +385,19 @@ def easu_gather(
                 raise ValueError(
                     f"grain must be (3, {hout}, {wout}), got {grain_arr.shape}"
                 )
+    dith_arr = None
+    if epi is not None and epi.needs_dither_tex:
+        if dither_page is None:
+            raise ValueError("epilogue.dither_texture requires dither_page")
+        pg = jnp.asarray(dither_page, jnp.float32)
+        if pg.shape != (128, 128):
+            raise ValueError("dither_page must be (128, 128)")
+        if ti % 128:
+            raise ValueError(
+                "tile width incompatible with the 128-wide dither page"
+            )
+        rr = -(-tj // 128) * 128
+        dith_arr = jnp.tile(pg[None], (1, rr // 128, ti // 128))
 
     def kernel(rs_ref, cs_ref, cb_ref, src_ref, r_ref, *rest):
         rest = list(rest)
@@ -402,6 +416,9 @@ def easu_gather(
             frame_ref = ins.pop(0)
         if grain_arr is not None:
             grain_ref = ins.pop(0)
+        dith_ref = None
+        if dith_arr is not None:
+            dith_ref = ins.pop(0)
         if apply_rcas:
             tile, e_prev, e_cur, lastcol, sem = scratch
         else:
@@ -420,11 +437,18 @@ def easu_gather(
             rrow = out_ty * tj + jax.lax.broadcasted_iota(
                 jnp.int32, (1, tj, ti), 1
             )
+            dit = None
+            if dith_ref is not None:
+                rr = dith_ref.shape[1]
+                sh = jax.lax.rem(out_ty * tj, 128)
+                dit = pltpu.roll(
+                    dith_ref[:, :, :], jnp.remainder(-sh, rr), axis=1
+                )[0][:tj]
             return epilogue_mod.apply(
                 res, rrow, out_tx * ti + rlane,
                 frame_ref[0] if frame_ref is not None else 0,
                 grain_ref[:, :, :] if grain_ref is not None else None,
-                epi,
+                epi, dit=dit,
             )
         bi = pl.program_id(0)
         ty = pl.program_id(1)
@@ -786,6 +810,9 @@ def easu_gather(
             gidx = lambda bi, ty, tx, *_: (0, ty, tx)
         in_specs.append(pl.BlockSpec((3, tj, ti), gidx))
         operands.append(grain_arr)
+    if dith_arr is not None:
+        in_specs.append(pl.BlockSpec(dith_arr.shape, lambda *_: (0, 0, 0)))
+        operands.append(dith_arr)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(nb, ny, nsteps),

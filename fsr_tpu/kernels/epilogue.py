@@ -69,6 +69,8 @@ class Epilogue:
     transform: str = "none"
     grain_amount: float = 0.0
     dither_bits: Optional[int] = None
+    dither_texture: bool = False  # dither positions from a texture operand
+    #   (the sample's 128x128 temporal blue noise) instead of the hash
 
     def __post_init__(self):
         if self.transform not in ("none", "srtm_inv", "gamma2"):
@@ -77,6 +79,8 @@ class Epilogue:
             raise ValueError("TEPD supports 8- or 10-bit output")
         if self.dither_bits is not None and self.transform == "srtm_inv":
             raise ValueError("TEPD dithering expects {0..1} input, not HDR out")
+        if self.dither_texture and self.dither_bits is None:
+            raise ValueError("dither_texture requires dither_bits")
 
     @property
     def needs_grain(self) -> bool:
@@ -84,7 +88,11 @@ class Epilogue:
 
     @property
     def needs_frame(self) -> bool:
-        return self.dither_bits is not None
+        return self.dither_bits is not None and not self.dither_texture
+
+    @property
+    def needs_dither_tex(self) -> bool:
+        return self.dither_texture
 
     @property
     def is_noop(self) -> bool:
@@ -92,15 +100,18 @@ class Epilogue:
                 and self.dither_bits is None)
 
 
-def apply(res, grow, gcol, frame, grain, epi: Epilogue, *, fast: bool = True):
+def apply(res, grow, gcol, frame, grain, epi: Epilogue, *, fast: bool = True,
+          dit=None):
     """Apply the epilogue to one result tile.
 
     res: (3, tj, ti) float32 RCAS/EASU output in [0, 1] ({0..1} tonemapped).
     grow/gcol: int32 global *output* pixel coordinates, broadcastable to
       (1, tj, ti) (the kernels already build these for the RCAS border
-      clamps); only used when dithering.
-    frame: int32 scalar temporal frame index (dither only).
+      clamps); only used when hash-dithering.
+    frame: int32 scalar temporal frame index (hash dither only).
     grain: (3, tj, ti) grain tap in {-0.5..0.5} (grain only).
+    dit: (tj, ti) dither positions in [0,1) when epi.dither_texture (the
+      kernels slice these from the tiled blue-noise page).
     """
     rcp = approx.rcp_fast if fast else approx.rcp
     if epi.transform == "srtm_inv":
@@ -113,12 +124,15 @@ def apply(res, grow, gcol, frame, grain, epi: Epilogue, *, fast: bool = True):
         a = jnp.float32(epi.grain_amount)
         res = res + (grain * a) * jnp.minimum(jnp.float32(1.0) - res, res)
     if epi.dither_bits is not None:
-        # FsrTepdDitF: fract(phi*(x+frame) + y/3.69), matching
-        # ops.extras.tepd_dither's op order exactly.
-        x = (gcol + frame).astype(jnp.float32)
-        y = grow.astype(jnp.float32)
-        v = x * _DIT_A + (y * _DIT_B)
-        dit = v - jnp.floor(v)
+        if epi.dither_texture:
+            dit = dit[None] if dit.ndim == 2 else dit
+        else:
+            # FsrTepdDitF: fract(phi*(x+frame) + y/3.69), matching
+            # ops.extras.tepd_dither's op order exactly.
+            x = (gcol + frame).astype(jnp.float32)
+            y = grow.astype(jnp.float32)
+            v = x * _DIT_A + (y * _DIT_B)
+            dit = v - jnp.floor(v)
         steps = jnp.float32(255.0 if epi.dither_bits == 8 else 1023.0)
         inv = jnp.float32(1.0) / steps
         n = jnp.sqrt(res)

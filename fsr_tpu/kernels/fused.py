@@ -350,6 +350,7 @@ def upscale_fused(
     grain_planar=None,
     prologue: str = "none",
     out_dtype=None,
+    dither_page=None,
 ) -> jnp.ndarray:
     """Fused EASU(+RCAS) on TPU.  image: (..., 3, Hin, Win) in [0, 1].
 
@@ -373,7 +374,9 @@ def upscale_fused(
     applied to the result planes in VMEM before writeback — the TPU
     analog of the reference's inline post-ops (kernels/epilogue.py).
     frame is the TEPD temporal index (traced scalar ok); grain_planar is
-    the phase-planar grain texture from planarize_grain().
+    the phase-planar grain texture from planarize_grain(); dither_page is
+    the (128, 128) dither-position page when epilogue.dither_texture (the
+    sample's temporal blue noise — select the page by frame upstream).
 
     prologue: "none" | "srtm" — optionally apply the SRTM reversible
     tonemap (FsrSrtmF, ffx_fsr1.h:1043) to the input tile in VMEM before
@@ -530,6 +533,27 @@ def upscale_fused(
                     f"grain_planar must be {(n_phases, 3, hpl, wpl)} "
                     f"(phase-planar; see planarize_grain), got {grain_arr.shape}"
                 )
+    dith_arr = None
+    py_per = None
+    if epi is not None and epi.needs_dither_tex:
+        if dither_page is None:
+            raise ValueError("epilogue.dither_texture requires dither_page")
+        pg = jnp.asarray(dither_page, jnp.float32)
+        if pg.shape != (128, 128):
+            raise ValueError("dither_page must be (128, 128)")
+        # Phase-planarize one page period: plane (a, b)[j, i] =
+        # page[qy*j+a, qx*i+b]; the tile's dither values are then pure
+        # periodic slices (period 128/qy rows x 128/qx lanes).
+        py_per, px_per = 128 // qy, 128 // qx
+        if ti % px_per:
+            raise ValueError(
+                "tile width incompatible with the 128-wide dither page"
+            )
+        pp = pg.reshape(py_per, qy, px_per, qx).transpose(1, 3, 0, 2).reshape(
+            n_phases, py_per, px_per
+        )
+        rr = -(-tj // py_per) * py_per
+        dith_arr = jnp.tile(pp, (1, rr // py_per, ti // px_per))
 
     def kernel(*args):
         i = 1
@@ -543,6 +567,10 @@ def upscale_fused(
             i += 1
         if grain_arr is not None:
             grain_ref = args[i]
+            i += 1
+        dith_ref = None
+        if dith_arr is not None:
+            dith_ref = args[i]
             i += 1
         outs = args[i : i + n_out_refs]
         scr = args[i + n_out_refs :]
@@ -753,6 +781,13 @@ def upscale_fused(
                 jrow = ty * tj + jax.lax.broadcasted_iota(
                     jnp.int32, (1, tj, ti), 1
                 )
+                dith_rolled = None
+                if dith_ref is not None:
+                    rr = dith_ref.shape[1]
+                    sh = jax.lax.rem(ty * tj, py_per)
+                    dith_rolled = pltpu.roll(
+                        dith_ref[:, :, :], jnp.remainder(-sh, rr), axis=1
+                    )
                 for a in range(qy):
                     for b in range(qx):
                         res_ab[a][b] = epilogue_mod.apply(
@@ -763,6 +798,8 @@ def upscale_fused(
                             grain_ref[a * qx + b] if grain_ref is not None
                             else None,
                             epi,
+                            dit=(dith_rolled[a * qx + b][:tj]
+                                 if dith_rolled is not None else None),
                         )
             if assemble == "xla":
                 for a in range(qy):
@@ -805,6 +842,13 @@ def upscale_fused(
             lane = jax.lax.broadcasted_iota(jnp.int32, (1, tj, ti), 2)
             jrow = typ * tj + jax.lax.broadcasted_iota(jnp.int32, (1, tj, ti), 1)
             icol = txp * ti + lane
+            dith_rolled = None
+            if dith_ref is not None:
+                rr = dith_ref.shape[1]
+                sh = jax.lax.rem(typ * tj, py_per)
+                dith_rolled = pltpu.roll(
+                    dith_ref[:, :, :], jnp.remainder(-sh, rr), axis=1
+                )
             res_ab = [[None] * qx for _ in range(qy)]
             for a in range(qy):
                 for b in range(qx):
@@ -864,6 +908,8 @@ def upscale_fused(
                             grain_ref[a * qx + b] if grain_ref is not None
                             else None,
                             epi,
+                            dit=(dith_rolled[a * qx + b][:tj]
+                                 if dith_rolled is not None else None),
                         )
                     res_ab[a][b] = res
                     if assemble == "xla":
@@ -898,6 +944,12 @@ def upscale_fused(
                          memory_space=pltpu.VMEM)
         )
         operands.append(grain_arr)
+    if dith_arr is not None:
+        in_specs.append(
+            pl.BlockSpec(dith_arr.shape, lambda *_: (0, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        operands.append(dith_arr)
     operands = tuple(operands)
 
     scratch_shapes = [pltpu.VMEM((3, tih, tiw), jnp.uint8 if u8_in else dt)]

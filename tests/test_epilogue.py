@@ -250,3 +250,56 @@ def test_pipeline_grain_cache_off_tpu(rng):
     pipe = fsr_tpu.UpscalePipeline(out_hw, grain_amount=0.2)
     assert pipe._planar_grain(grain, in_hw) is None
     assert pipe._grain_cache == []
+
+
+def test_fused_texture_dither(rng):
+    in_hw, out_hw = (40, 144), (80, 288)
+    img = rng.uniform(0, 1, (3, *in_hw)).astype(np.float32)
+    con, rcon = _con(in_hw, out_hw), RcasConstants(0.25)
+    page = rng.uniform(0, 1, (128, 128)).astype(np.float32)
+    epi = Epilogue(dither_bits=10, dither_texture=True)
+    got = np.asarray(fused.upscale_fused(
+        jnp.asarray(img), out_hw, con, rcon, epilogue=epi,
+        dither_page=jnp.asarray(page),
+    ))
+    base = fused.upscale_fused(jnp.asarray(img), out_hw, con, rcon)
+    want = np.asarray(xtr.tepd_quantize(
+        base, xtr.texture_dither(out_hw, 0, jnp.asarray(page)), bits=10))
+    d = np.abs(got - want)
+    step = 1.0 / 1023.0
+    assert (d > 2e-6).sum() <= 4 and d.max() <= 2.05 * step
+
+
+def test_gather_texture_dither(rng):
+    in_hw, out_hw = (48, 160), (72, 240)
+    img = rng.uniform(0, 1, (3, *in_hw)).astype(np.float32)
+    con, rcon = _con(in_hw, out_hw), RcasConstants(0.25)
+    page = rng.uniform(0, 1, (128, 128)).astype(np.float32)
+    epi = Epilogue(dither_bits=8, dither_texture=True)
+    got = np.asarray(easu_gather.easu_gather(
+        jnp.asarray(img), out_hw, con, rcon, apply_rcas=True, epilogue=epi,
+        dither_page=jnp.asarray(page),
+    ))
+    base = easu_gather.easu_gather(
+        jnp.asarray(img), out_hw, con, rcon, apply_rcas=True)
+    want = np.asarray(xtr.tepd_quantize(
+        base, xtr.texture_dither(out_hw, 0, jnp.asarray(page)), bits=8))
+    d = np.abs(got - want)
+    step = 1.0 / 255.0
+    assert (d > 2e-6).sum() <= 4 and d.max() <= 2.05 * step
+
+
+def test_pipeline_texture_dither_pages(rng):
+    # multi-page temporal blue noise: page selected by frame (fused path
+    # gating exercised on CPU via the XLA twin inside upscale()).
+    in_hw, out_hw = (40, 144), (80, 288)
+    img = rng.uniform(0, 1, (3, *in_hw)).astype(np.float32)
+    tex = rng.uniform(0, 1, (4, 128, 128)).astype(np.float32)
+    pipe = fsr_tpu.UpscalePipeline(out_hw, dither_bits=10,
+                                   dither_texture=tex)
+    out = np.asarray(pipe(jnp.asarray(img), frame=6))
+    x = fsr_tpu.upscale(jnp.asarray(img), out_size=out_hw)
+    want = np.asarray(xtr.tepd_quantize(
+        x, xtr.texture_dither(out_hw, 6, jnp.asarray(tex)), bits=10))
+    d = np.abs(out - want)
+    assert (d > 2e-6).sum() <= 4 and d.max() <= 2.05 / 1023.0

@@ -277,6 +277,23 @@ def main() -> int:
     if not ok:
         failures.append("gather u8")
 
+    # Fused texture dither (128x128 page, periodic in-kernel slices).
+    page = rng.uniform(0, 1, (128, 128)).astype(np.float32)
+    got_td = np.asarray(fused.upscale_fused(
+        jnp.asarray(im.from_uint8(img8)), (540, 960), con8, rcon,
+        epilogue=Epilogue(dither_bits=10, dither_texture=True),
+        dither_page=jnp.asarray(page)))
+    want_td = np.asarray(xtr.tepd_quantize(
+        jnp.asarray(wantf), xtr.texture_dither((540, 960), 0,
+                                               jnp.asarray(page)), bits=10))
+    dtd = np.abs(got_td - want_td)
+    flips = int((dtd > 4e-5).sum())
+    ok = flips <= 1e-4 * dtd.size and dtd.max() <= 2.05 / 1023.0
+    print(f"  {'PASS' if ok else 'FAIL'} fused-2x texture dither: "
+          f"flips={flips}/{dtd.size} max|Δ|={dtd.max():.3g}")
+    if not ok:
+        failures.append("texture dither")
+
     # uint16 (10-bit UNORM codes, the RGB10A2 analog), integer-packed.
     got16 = np.asarray(fused.upscale_fused(
         jnp.asarray(img8), (540, 960), con8, rcon, out_dtype=jnp.uint16))
