@@ -11,7 +11,8 @@ Usage:
   python -m fsr_tpu.cli IN OUT [--preset quality] [--scale 2.0]
       [--mode fsr|bilinear|native] [--sharpness 0.25] [--no-rcas]
       [--denoise] [--dtype float32|bfloat16|float16] [--impl auto|xla|pallas]
-      [--hdr] [--gamma2-out] [--grain AMOUNT] [--dither-bits 8|10] [--frame N]
+      [--hdr] [--gamma2-out] [--grain AMOUNT] [--dither-bits 8|10]
+      [--blue-noise] [--frame N]
       [--config cfg.json] [--benchmark N --results out.csv]
       [--compare out.png]
 """
@@ -52,6 +53,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "seeded per --frame")
     p.add_argument("--dither-bits", type=int, default=None, choices=[8, 10],
                    help="TEPD dithered quantize to 8/10-bit gamma-2.0")
+    p.add_argument("--blue-noise", action="store_true",
+                   help="dither with temporal blue-noise pages (the "
+                        "sample's quality option) instead of the "
+                        "golden-ratio hash; requires --dither-bits")
     p.add_argument("--frame", type=int, default=0,
                    help="temporal frame index for grain/dither")
     p.add_argument("--benchmark", type=int, default=0, metavar="N",
@@ -94,6 +99,9 @@ def main(argv=None) -> int:
 
     x = jnp.asarray(img[:3])
 
+    if args.blue_noise and args.dither_bits is None:
+        print("error: --blue-noise requires --dither-bits", file=sys.stderr)
+        return 2
     use_pipeline = (args.hdr or args.gamma2_out or args.grain
                     or args.dither_bits is not None)
     if use_pipeline and args.mode != "fsr":
@@ -102,11 +110,17 @@ def main(argv=None) -> int:
         return 2
     pipe = grain_tex = None
     if use_pipeline and args.mode == "fsr":
+        dither_tex = None
+        if args.blue_noise:
+            from fsr_tpu.utils.noise import temporal_blue_noise
+
+            dither_tex = temporal_blue_noise(pages=8)
         pipe = api.UpscalePipeline(
             out_hw, sharpness=args.sharpness, apply_rcas=not args.no_rcas,
             denoise=args.denoise, hdr_srtm=args.hdr, hdr_out=args.hdr,
             gamma2_out=args.gamma2_out, grain_amount=args.grain,
-            dither_bits=args.dither_bits, compute_dtype=dtype, impl=args.impl,
+            dither_bits=args.dither_bits, dither_texture=dither_tex,
+            compute_dtype=dtype, impl=args.impl,
         )
         if args.grain:
             grng = np.random.default_rng(args.frame)
