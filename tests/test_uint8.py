@@ -186,3 +186,22 @@ def test_pipeline_u16_display_codes(rng):
     x = fsr_tpu.upscale(jnp.asarray(im.from_uint8(img8)), out_size=out_hw)
     x = xtr.tepd_quantize(x, xtr.tepd_dither(out_hw, 2), bits=10)
     np.testing.assert_array_equal(out, im.to_uint10(np.asarray(x)))
+
+
+def test_fused_u8_batched_with_epilogue(rng):
+    """Batch grid + epilogue + u8 codes together (grain/dither blocks are
+    shared across the batch; per-frame results must match single calls)."""
+    in_hw, out_hw = (40, 144), (80, 288)
+    imgs8 = (rng.uniform(0, 1, (2, 3, *in_hw)) * 255).astype(np.uint8)
+    con, rcon = _con(in_hw, out_hw), RcasConstants(0.25)
+    grain = rng.uniform(-0.5, 0.5, (3, *out_hw)).astype(np.float32)
+    gp = fused.planarize_grain(grain, out_hw, con)
+    epi = Epilogue(grain_amount=0.2, dither_bits=8)
+    got = np.asarray(fused.upscale_fused(
+        jnp.asarray(imgs8), out_hw, con, rcon, out_dtype=jnp.uint8,
+        epilogue=epi, frame=3, grain_planar=gp))
+    for i in range(2):
+        want = np.asarray(fused.upscale_fused(
+            jnp.asarray(imgs8[i]), out_hw, con, rcon, out_dtype=jnp.uint8,
+            epilogue=epi, frame=3, grain_planar=gp))
+        np.testing.assert_array_equal(got[i], want)
