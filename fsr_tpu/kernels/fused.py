@@ -17,9 +17,13 @@ of the VMEM-resident input tile — no gathers, pure VPU elementwise math
 
 RCAS also runs in phase-planar space: its 5-tap cross maps to row-shifted
 sibling phases (rows keep a one-row in-plane halo) and, at tile seams, to
-columns exchanged through a one-tile software pipeline — grid step tx
-computes EASU for tile tx into a double-buffered VMEM plane stack and
-sharpens tile tx-1, whose left/right seam columns both exist by then.  The
+columns exchanged through a one-tile software pipeline that runs FLAT over
+the row-major (ty, tx) tile sequence — grid step s computes EASU for tile
+s into a double-buffered VMEM plane stack and sharpens tile s-1, whose
+left/right seam columns both exist by then (one drain step per frame).
+At a row transition the exchanged seam columns belong to different tile
+rows, but those lanes are exactly the image's right/left edge (or ragged
+masked lanes), which the global-coordinate border clamps overwrite.  The
 pipeline lets every resolve plane be exactly ti lanes wide (an aligned
 truncation of the rolled taps), instead of the extra vreg a lane halo would
 force on all the elementwise math.
