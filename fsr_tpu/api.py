@@ -252,6 +252,7 @@ def sharpen(
         raise ValueError(f"unknown layout {layout!r}")
     rcon = RcasConstants(sharpness_stops=float(sharpness))
 
+    u8 = image.dtype == jnp.uint8
     use_kernel = False
     if impl in ("auto", "pallas") and image.shape[-3] == 3:
         import jax
@@ -260,6 +261,8 @@ def sharpen(
             use_kernel = jax.devices()[0].platform == "tpu"
         except RuntimeError:
             use_kernel = False
+        if u8 and image.shape[-2] < 32:
+            use_kernel = False  # 8-bit block granule; XLA path below
     if impl == "pallas" and not use_kernel:
         raise ValueError("pallas RCAS needs a TPU and a 3-channel image")
 
@@ -270,9 +273,13 @@ def sharpen(
             image, rcon, denoise=denoise, compute_dtype=compute_dtype, border=border
         )
     else:
+        if u8:
+            image = image.astype(jnp.float32) * jnp.float32(1.0 / 255.0)
         out = rcas_ops.rcas(
             image, rcon, denoise=denoise, compute_dtype=compute_dtype, border=border
         )
+        if u8:
+            out = _encode_u8(out)
     if layout == "HWC":
         out = jnp.moveaxis(out, -3, -1)
     return out

@@ -21,6 +21,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from fsr_tpu.core import easu_math
 from fsr_tpu.core.constants import RcasConstants
+from fsr_tpu.kernels import epilogue as epilogue_mod
 
 INTERPRET = False
 
@@ -50,16 +51,26 @@ def rcas_fused(
     border: "clamp" (edge replication, default) or "zero" — the sample's
     imageLoad reads zeros out of bounds, darkening the 1-pixel border
     (see ops/rcas.py border note); "zero" reproduces that for A/B parity.
+
+    A uint8 image sharpens byte-in/byte-out: decoded v/255 in-kernel
+    (byte source + tile DMAs) and re-encoded with the D3D UNORM rule at
+    the store (math is f32 either way).  Needs H >= 32 (8-bit block
+    granule); api.sharpen falls back to the XLA path below that.
     """
     batch_dims = image.shape[:-3]
     image = image.reshape((-1,) + image.shape[-3:])
     nb = image.shape[0]
 
+    u8 = image.dtype == jnp.uint8
     dt = jnp.dtype(compute_dtype) if compute_dtype is not None else image.dtype
     if dt == jnp.float16:
         dt = jnp.dtype(jnp.float32)  # no Mosaic fp16; match XLA-f16 via f32 math
     h, w = image.shape[-2:]
     th, tw = _pick_tiles(h, w)
+    if u8:
+        dt = jnp.dtype(jnp.uint8)  # bytes end-to-end; math stays f32
+        if th % 32:
+            raise ValueError("uint8 RCAS needs H >= 32 (8-bit block granule)")
     ny, nx = pl.cdiv(h, th), pl.cdiv(w, tw)
 
     ru = lambda v, m: -(-v // m) * m
@@ -96,7 +107,13 @@ def rcas_fused(
                 r = pltpu.roll(r, (r.shape[ax - 2] - dy) % r.shape[ax - 2], axis=ax - 2)
             return r
 
-        t3 = tile[:, :, :].astype(jnp.float32)
+        t0 = tile[:, :, :]
+        if u8:
+            t3 = t0.astype(jnp.int32).astype(jnp.float32) * jnp.float32(
+                1.0 / 255.0
+            )
+        else:
+            t3 = t0.astype(jnp.float32)
         # index (m, n) = pixel (m, n) of the tile's interior origin (1, 1)
         e = shift2(t3, 1, 1)
         b = shift2(t3, 0, 1)
@@ -113,7 +130,10 @@ def rcas_fused(
         f = jnp.where(gcol == w - 1, bv, f)
 
         res = easu_math.rcas_resolve(b, d, e, f, hh, sharp, denoise=denoise, fast=True)
-        out_ref[0, :, :, :] = res[:, :th, :tw].astype(dt)
+        if u8:
+            out_ref[0, :, :, :] = epilogue_mod.encode_unorm8(res[:, :th, :tw])
+        else:
+            out_ref[0, :, :, :] = res[:, :th, :tw].astype(dt)
 
     out = pl.pallas_call(
         kernel,

@@ -205,3 +205,27 @@ def test_fused_u8_batched_with_epilogue(rng):
             jnp.asarray(imgs8[i]), out_hw, con, rcon, out_dtype=jnp.uint8,
             epilogue=epi, frame=3, grain_planar=gp))
         np.testing.assert_array_equal(got[i], want)
+
+
+def test_rcas_u8_roundtrip(rng):
+    """Standalone RCAS byte-in/byte-out (kernel, interpret) matches
+    decode -> float RCAS -> encode."""
+    from fsr_tpu.kernels import rcas_pallas
+    rcas_pallas.INTERPRET = True
+    try:
+        img8 = (rng.uniform(0, 1, (3, 64, 256)) * 255).astype(np.uint8)
+        rcon = RcasConstants(0.25)
+        got = np.asarray(rcas_pallas.rcas_fused(jnp.asarray(img8), rcon))
+        want = im.to_uint8(np.asarray(rcas_pallas.rcas_fused(
+            jnp.asarray(im.from_uint8(img8)), rcon)))
+        assert got.dtype == np.uint8
+        np.testing.assert_array_equal(got, want)
+        # api.sharpen XLA fallback for short images matches the contract
+        small = (rng.uniform(0, 1, (3, 16, 64)) * 255).astype(np.uint8)
+        out = np.asarray(fsr_tpu.sharpen(jnp.asarray(small), impl="xla"))
+        from fsr_tpu.ops import rcas as rcas_ops
+        want2 = im.to_uint8(np.asarray(rcas_ops.rcas(
+            jnp.asarray(im.from_uint8(small)), rcon)))
+        np.testing.assert_array_equal(out, want2)
+    finally:
+        rcas_pallas.INTERPRET = False

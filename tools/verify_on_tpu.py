@@ -313,6 +313,15 @@ def main() -> int:
     if not ok:
         failures.append("gather u16")
 
+    got_r8 = np.asarray(rcas_pallas.rcas_fused(jnp.asarray(img8), rcon))
+    want_r8 = im.to_uint8(np.asarray(rcas_pallas.rcas_fused(
+        jnp.asarray(im.from_uint8(img8)), rcon)))
+    dr8 = int(np.abs(got_r8.astype(np.int32) - want_r8.astype(np.int32)).max())
+    ok = dr8 == 0
+    print(f"  {'PASS' if ok else 'FAIL'} standalone RCAS u8->u8: max dev {dr8}")
+    if not ok:
+        failures.append("rcas u8")
+
     print("FAILURES:" if failures else "ALL PASS", failures or "")
     return 1 if failures else 0
 
