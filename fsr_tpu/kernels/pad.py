@@ -93,14 +93,26 @@ def edge_pad(image: jnp.ndarray, pads: Tuple[int, int, int, int], out_dtype):
         dma.wait()
 
         x = tin[:, :, :]
+        # Mosaic's dynamic rotate handles 32-bit vectors only: widen
+        # sub-32-bit storage (bf16/f16/u8) for the realignment, exactly
+        # (bf16/f16 -> f32 and u8 -> i32 are value-preserving), and cast
+        # back at the store.
+        if jnp.dtype(img.dtype).itemsize < 4:
+            wide = (jnp.int32 if jnp.issubdtype(img.dtype, jnp.integer)
+                    else jnp.float32)
+            x = x.astype(wide)
         # Rows: out row r holds source row clip(t*ts + r - pt, 0, h-1) - a;
         # one roll realigns the window, masked selects replicate the edges.
         u = t * ts - pt - a  # may be negative only in the top strip
         x = pltpu.roll(x, jnp.remainder(-u, win_r), axis=1)[:, :ts, :]
         riota = jax.lax.broadcasted_iota(jnp.int32, (1, ts, 1), 1)
         grow = t * ts + riota - pt
-        top = tin[:, 0:1, :]
-        bot = tin[:, pl.ds(h - 1 - a, 1), :]
+        top = tin[:, 0:1, :].astype(x.dtype)
+        # bot is only read when the strip extends past the image bottom,
+        # and those strips have a clipped to h - win_r, putting source row
+        # h-1 statically at window row win_r-1 (a dynamic h-1-a load would
+        # need unprovable sublane alignment).
+        bot = tin[:, win_r - 1:win_r, :].astype(x.dtype)
         x = jnp.where(grow < 0, top, x)
         x = jnp.where(grow > h - 1, bot, x)
         # Columns: widen, roll left-pad into place, replicate edges.
