@@ -54,8 +54,11 @@ def _encode_u8(x):
 
 
 def _apply_epilogue_xla(out, epi, frame, grain, dither_page=None):
-    """XLA-path twin of the kernels' fused epilogue (same f32 math, same
-    approximation choices — see kernels/epilogue.py)."""
+    """XLA-path twin of the kernels' fused epilogue (see
+    kernels/epilogue.py).  Consistent within the 1/255 fidelity budget:
+    the kernel prologue/epilogue use approx.rcp_fast for srtm/srtm_inv
+    while ops.extras divides exactly, so impl='auto' results can differ
+    by ~ulps between the TPU and XLA paths."""
     dt = out.dtype
     x = out.astype(jnp.float32)
     if epi.transform == "srtm_inv":
@@ -155,6 +158,15 @@ def upscale(
             "out_dtype must be uint8/uint16 or match compute_dtype "
             f"(got {jnp.dtype(out_dtype)} vs {jnp.dtype(compute_dtype)})"
         )
+    if (
+        epilogue is not None
+        and epilogue.dither_bits == 10
+        and out_dtype is not None
+        and jnp.dtype(out_dtype) == jnp.uint8
+    ):
+        # 10-bit TEPD codes k/1023 are not representable as x255 UNORM
+        # bytes (mirrors UpscalePipeline's constructor check).
+        raise ValueError("uint8 output cannot hold 10-bit codes")
     use_pallas = False
     if impl in ("auto", "pallas"):
         from fsr_tpu.kernels import dispatch as kdispatch
@@ -274,7 +286,11 @@ def sharpen(
         )
     else:
         if u8:
+            # The Pallas kernel always sharpens bytes in f32 before the
+            # UNORM encode; force the same here so uint8 outputs are
+            # bit-stable across impl/platform regardless of compute_dtype.
             image = image.astype(jnp.float32) * jnp.float32(1.0 / 255.0)
+            compute_dtype = jnp.float32
         out = rcas_ops.rcas(
             image, rcon, denoise=denoise, compute_dtype=compute_dtype, border=border
         )
@@ -452,11 +468,14 @@ class UpscalePipeline:
             )
 
         if fuse_dither:
+            from fsr_tpu.kernels.epilogue import DitherTileError
+
             try:
                 x = run(True)
-            except ValueError:
-                # e.g. a tile plan the 128-wide page cannot tile into
-                # (very narrow outputs): fall back to the XLA after-pass.
+            except DitherTileError:
+                # A tile plan the 128-wide page cannot tile into (very
+                # narrow outputs): fall back to the XLA after-pass.  Any
+                # other ValueError is a real misconfiguration and raises.
                 fuse_dither = False
                 x = run(False)
         else:

@@ -25,8 +25,15 @@ import numpy as np
 
 from fsr_tpu.core import approx
 
-__all__ = ["Epilogue", "apply", "encode_unorm8", "encode_unorm10",
-           "encode_unorm_codes"]
+__all__ = ["Epilogue", "DitherTileError", "apply", "encode_unorm8",
+           "encode_unorm10", "encode_unorm_codes"]
+
+
+class DitherTileError(ValueError):
+    """The kernel's tile plan cannot host the 128-wide dither page (very
+    narrow outputs).  Callers (UpscalePipeline) catch exactly this to fall
+    back to the XLA dither after-pass; genuine misconfigurations (bad grain
+    shape, wrong page size) stay plain ValueError and propagate."""
 
 
 def encode_unorm_codes(x, max_code: int):

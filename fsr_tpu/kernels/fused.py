@@ -55,6 +55,7 @@ from jax.experimental.pallas import tpu as pltpu
 from fsr_tpu.core import approx, easu_math
 from fsr_tpu.core.constants import EasuConstants, RcasConstants
 from fsr_tpu.kernels import epilogue as epilogue_mod
+from fsr_tpu.kernels.epilogue import DitherTileError
 from fsr_tpu.kernels.pad import edge_pad
 from fsr_tpu.ops.easu import easu_coords
 
@@ -550,7 +551,7 @@ def upscale_fused(
         # periodic slices (period 128/qy rows x 128/qx lanes).
         py_per, px_per = 128 // qy, 128 // qx
         if ti % px_per:
-            raise ValueError(
+            raise DitherTileError(
                 "tile width incompatible with the 128-wide dither page"
             )
         pp = pg.reshape(py_per, qy, px_per, qx).transpose(1, 3, 0, 2).reshape(
