@@ -66,6 +66,7 @@ from jax.experimental.pallas import tpu as pltpu
 from fsr_tpu.core import approx, easu_math
 from fsr_tpu.core.constants import EasuConstants, RcasConstants
 from fsr_tpu.kernels import epilogue as epilogue_mod
+from fsr_tpu.kernels.epilogue import DitherTileError
 from fsr_tpu.kernels.pad import edge_pad, kernel_path_ok
 from fsr_tpu.ops.easu import easu_coords
 
@@ -320,12 +321,14 @@ def easu_gather(
     # Column path selection: per 128-lane output block, tap columns are a
     # dynamic roll (block's earliest tap -> lane 0) + a within-vreg gather;
     # falls back to one-hot matmuls when a block's tap span exceeds a vreg
-    # (upscale ratios under ~1.04x) or in interpret mode (the interpreter
-    # rejects dynamic roll shifts).
+    # (upscale ratios under ~1.04x).  Under interpret mode the dynamic roll
+    # runs through a jnp.roll twin (same wrap semantics; the interpreter
+    # rejects dynamic pltpu.roll shifts), so the production tap-indexing is
+    # covered by the CPU suite.
     nblk = ti // 128
     cbase = np.zeros((nx, nblk), np.int32)
     cgidx = np.zeros((nx, 8, ti), np.int32)
-    col_gather = ti % 128 == 0 and not INTERPRET and xp is None
+    col_gather = ti % 128 == 0 and xp is None
     for t in range(nx):
         for w in range(nblk):
             lo = int(lfx[t, 128 * w]) - 1
@@ -393,7 +396,7 @@ def easu_gather(
         if pg.shape != (128, 128):
             raise ValueError("dither_page must be (128, 128)")
         if ti % 128:
-            raise ValueError(
+            raise DitherTileError(
                 "tile width incompatible with the 128-wide dither page"
             )
         rr = -(-tj // 128) * 128
@@ -670,8 +673,13 @@ def easu_gather(
                     bidx = jnp.broadcast_to(
                         ci_ref[0, 0:1, 128 * w:128 * (w + 1)], (tih, 128))
                     for si, p in enumerate(srcs):
-                        winp = pltpu.roll(
-                            p, (tiw - shift) % tiw, axis=1)[:, :128]
+                        if INTERPRET:
+                            # jnp.roll twin of the dynamic pltpu.roll
+                            # (identical wrap semantics).
+                            winp = jnp.roll(p, -shift, axis=1)[:, :128]
+                        else:
+                            winp = pltpu.roll(
+                                p, (tiw - shift) % tiw, axis=1)[:, :128]
                         for k in range(4) if si < 3 else range(2):
                             outs[si][k].append(
                                 jnp.take_along_axis(winp, bidx + k, axis=1))

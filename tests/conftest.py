@@ -23,6 +23,58 @@ import numpy as np
 import pytest
 
 
+# Heaviest interpret-mode kernel cases (>~8 s each on CI-class CPUs),
+# deselected by default via addopts = -m 'not slow' (pyproject.toml).
+# Kept criteria: every kernel path (fused 2x/4x, gather, epilogue, uint8,
+# sharding) retains at least one interpret-mode case in the default run.
+# Centralized here so the cost/coverage trade-off is reviewable in one place.
+_SLOW = {
+    "test_pallas_fused.py::test_fused_4x",
+    "test_pallas_fused.py::test_fused_batched",
+    "test_pallas_fused.py::test_fused_denoise",
+    "test_pallas_fused.py::test_fused_isolated_bright_pixel",
+    "test_pallas_fused.py::test_fused_matches_xla_2x[in_hw0-out_hw0]",
+    "test_pallas_fused.py::test_fused_matches_xla_2x[in_hw2-out_hw2]",
+    "test_pallas_fused.py::test_fused_easu_only",
+    "test_fuzz_sizes.py::test_fuzz_dispatchable_kernels_match_xla[in_hw10-out_hw10]",
+    "test_fuzz_sizes.py::test_fuzz_dispatchable_kernels_match_xla[in_hw9-out_hw9]",
+    "test_fuzz_sizes.py::test_fuzz_dispatchable_kernels_match_xla[in_hw7-out_hw7]",
+    "test_fuzz_sizes.py::test_fuzz_dispatchable_kernels_match_xla[in_hw0-out_hw0]",
+    "test_fuzz_sizes.py::test_fuzz_dispatchable_kernels_match_xla[in_hw2-out_hw2]",
+    "test_fuzz_sizes.py::test_fuzz_uint8_roundtrip[in_hw4-out_hw4]",
+    "test_fuzz_sizes.py::test_fuzz_uint8_roundtrip[in_hw0-out_hw0]",
+    "test_uint8.py::test_fused_u8_batched_with_epilogue",
+    "test_uint8.py::test_fused_u8_in_matches_decoded",
+    "test_uint8.py::test_fused_u16_out_codes",
+    "test_uint8.py::test_fused_u16_dithered_10bit_codes",
+    "test_uint8.py::test_fused_u8_dithered_display_codes",
+    "test_uint8.py::test_gather_u16_roundtrip",
+    "test_epilogue.py::test_fused_2x_epilogue[epi0]",
+    "test_epilogue.py::test_fused_2x_epilogue[epi1]",
+    "test_epilogue.py::test_fused_2x_epilogue[epi4]",
+    "test_epilogue.py::test_gather_epilogue[epi0]",
+    "test_epilogue.py::test_gather_epilogue_easu_only",
+    "test_epilogue.py::test_fused_2x_epilogue_easu_only",
+    "test_epilogue.py::test_fused_texture_dither",
+    "test_epilogue.py::test_fused_srtm_prologue",
+    "test_parallel.py::test_spatial_sharded_kernel_path_interpret",
+    "test_parallel.py::test_batch_sharded_matches_single",
+    "test_parallel.py::test_spatial_sharded_batched",
+    "test_parallel.py::test_spatial_plus_batch_mesh",
+    "test_parallel.py::test_spatial_sharded_matches_single[2]",
+    "test_kernels_general.py::test_easu_gather_matches_xla[in_hw0-out_hw0]",
+    "test_kernels_general.py::test_easu_gather_matches_xla[in_hw4-out_hw4]",
+    "test_kernels_general.py::test_easu_gather_drs_offset",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        rel = item.nodeid.split("tests/")[-1]
+        if rel in _SLOW:
+            item.add_marker(pytest.mark.slow)
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
