@@ -72,6 +72,12 @@ from fsr_tpu.ops.easu import easu_coords
 
 INTERPRET = False
 
+import os
+# Timing-ablation hook driven by tools/ablation/gather_ablation.py: stubs
+# out pieces of the col-gather selection pipeline to attribute device time.
+# Output is wrong under every non-empty mode; never set in production.
+_ABL = os.environ.get("FSR_GATHER_ABL", "")
+
 
 def supported(in_shape, out_size, con: EasuConstants, compute_dtype,
               out_dtype=None) -> bool:
@@ -313,9 +319,16 @@ def easu_gather(
     # value, so selection stays bit-exact with bf16-rate matmuls (Mosaic
     # rejects Precision.HIGH, and HIGHEST costs 6 passes).
     mm_dt = jnp.float32 if dt == jnp.float32 else jnp.bfloat16
-    R = np.zeros((ny, tj_e, tih), np.float32)
+    # All four dy-shift variants are stacked into one (4*tj_e, tih) selector:
+    # row block k selects source row lfy - 1 + k.  The col-gather path rides
+    # one tall matmul per (channel, dx) instead of one small matmul per tap
+    # (the 48 tiny 128x-tih-x128 dots per block were matmul-issue-bound, not
+    # FLOP-bound); the other paths slice their per-dy selectors out of the
+    # same operand.  _axis_plan guarantees lfy - 1 + 3 < tih, so no wrap.
+    R = np.zeros((ny, 4 * tj_e, tih), np.float32)
     for t in range(ny):
-        R[t, np.arange(tj_e), lfy[t] - 1] = 1.0
+        for k in range(4):
+            R[t, k * tj_e + np.arange(tj_e), lfy[t] - 1 + k] = 1.0
     R = jnp.asarray(R, jnp.bfloat16)
 
     # Column path selection: per 128-lane output block, tap columns are a
@@ -327,6 +340,7 @@ def easu_gather(
     # covered by the CPU suite.
     nblk = ti // 128
     cbase = np.zeros((nx, nblk), np.int32)
+    cspan = np.zeros((nx, nblk), np.int32)
     cgidx = np.zeros((nx, 8, ti), np.int32)
     col_gather = ti % 128 == 0 and xp is None
     for t in range(nx):
@@ -336,8 +350,22 @@ def easu_gather(
             if hi - lo + 1 > 128:
                 col_gather = False
             cbase[t, w] = lo
+            cspan[t, w] = hi - lo + 1
             cgidx[t, :, 128 * w:128 * (w + 1)] = (
                 lfx[t, 128 * w:128 * (w + 1)] - 1 - lo)[None, :]
+    # Static per-block source slice hosting every tile's window for that
+    # block: the dynamic alignment roll then runs on a (usually) 256-lane
+    # slice instead of the full tiw-wide plane.  sbase is 128-aligned so
+    # the slice is a free view; swid covers the worst tile's window end
+    # (roll wrap beyond it never reaches a used lane).
+    sbase = [0] * nblk
+    swid = [tiw] * nblk
+    if col_gather:
+        for w in range(nblk):
+            sbase[w] = int(cbase[:, w].min()) // 128 * 128
+            need = int((cbase[:, w] + cspan[:, w]).max()) - sbase[w]
+            swid[w] = min(-(-need // 128) * 128, tiw - sbase[w])
+        cbase = cbase - np.asarray(sbase, np.int32)[None, :]
     cbase_flat = jnp.asarray(cbase.reshape(-1))
     cgidx_arr = jnp.asarray(cgidx)
 
@@ -549,8 +577,10 @@ def easu_gather(
                 lshift(lshift(lumt, 2, 0), 1, 1),        # e: (m+2, n+1)
                 fast=True,
             )
+            if _ABL == "nog":
+                g_tex = (lumt, lumt, lumt)
 
-            r0 = r_ref[0]    # (tj_e, tih): selects source row lfy - 1
+            r4 = r_ref[0]    # (4*tj_e, tih): row block k selects lfy - 1 + k
 
             def bf16_dot(a, b):
                 return jnp.dot(
@@ -583,7 +613,7 @@ def easu_gather(
                     return bf16_dot(onehot, data)
 
             # Selector variants: index k selects (lf + k - 1).
-            r_k = {k: rshift(r0, k, 1) for k in range(4)}
+            r_k = {k: r4[k * tj_e:(k + 1) * tj_e] for k in range(4)}
 
             if xp is not None:
                 # Hybrid X-phase path: deinterleave the tile (and the
@@ -661,44 +691,92 @@ def easu_gather(
                     blocks.append(acc)
                 return jnp.concatenate(blocks, axis=1).reshape(3, tj_e, ti)
 
+            quad_off = {"s": (0, 0), "t": (0, 1), "u": (1, 0), "v": (1, 1)}
+            ppy = ppy_ref[:, 0:1]   # (tj_e, 1)
+
             # Column taps: cg[k][ch] = tile_ch at col lfx + k - 1; the g
             # grid is offset by -1 from texels, so g col (lfx + qdx - 1)
             # uses the same index vector with k = qdx.
             if col_gather:
+                # Gather AND resolve one 128-lane output block at a time:
+                # the live working set is 16 tap/quad planes of (tj_e, 128)
+                # instead of (tj_e, ti), which keeps the resolve stream
+                # VMEM-resident (the full-width variant measured ~52% of
+                # the VPU roofline from scratch spills; this form ~matches
+                # the 2x kernel's utilization).
                 tile3f = tile3.astype(jnp.float32)
                 srcs = [tile3f[0], tile3f[1], tile3f[2]] + list(g_tex)
-                outs = [[[] for _ in range(4)] for _ in srcs]
-                for w in range(nblk):
+
+                def gath(pp, idx):
+                    if _ABL in ("nogather", "noroll"):
+                        return pp
+                    return jnp.take_along_axis(pp, idx, axis=1)
+
+                def selr(r, pp):
+                    if _ABL in ("noselrow", "nogather", "noroll"):
+                        reps = -(-tj_e // pp.shape[0])
+                        return jnp.concatenate([pp] * reps, axis=0)[:tj_e]
+                    return sel_rows(r, pp)
+
+                def sel_block(w):
+                    """Roll + gather + row-select the tap/quad planes of
+                    128-lane output block w."""
                     shift = cb_ref[txc * nblk + w]
                     bidx = jnp.broadcast_to(
                         ci_ref[0, 0:1, 128 * w:128 * (w + 1)], (tih, 128))
-                    for si, p in enumerate(srcs):
-                        if INTERPRET:
+                    sb, wd = sbase[w], swid[w]
+                    wins = []
+                    for p in srcs:
+                        ps = p[:, sb:sb + wd]
+                        if _ABL == "noroll":
+                            wins.append(ps[:, :128])
+                        elif INTERPRET:
                             # jnp.roll twin of the dynamic pltpu.roll
                             # (identical wrap semantics).
-                            winp = jnp.roll(p, -shift, axis=1)[:, :128]
+                            wins.append(jnp.roll(ps, -shift, axis=1)[:, :128])
                         else:
-                            winp = pltpu.roll(
-                                p, (tiw - shift) % tiw, axis=1)[:, :128]
-                        for k in range(4) if si < 3 else range(2):
-                            outs[si][k].append(
-                                jnp.take_along_axis(winp, bidx + k, axis=1))
+                            wins.append(pltpu.roll(
+                                ps, (wd - shift) % wd, axis=1)[:, :128])
+                    taps = {}
+                    for name, (dx, dy) in easu_math.TAP_OFFSETS.items():
+                        taps[name] = jnp.stack(
+                            [selr(r_k[dy + 1], gath(
+                                wins[ch], bidx + (dx + 1)))
+                             for ch in range(3)], axis=0)
+                    quad_g = {
+                        qk: tuple(
+                            selr(r_k[qdy], gath(
+                                wins[3 + c], bidx + qdx))
+                            for c in range(3))
+                        for qk, (qdy, qdx) in quad_off.items()
+                    }
+                    return taps, quad_g
 
-                def cat(si, k):
-                    if nblk == 1:
-                        return outs[si][k][0]
-                    return jnp.concatenate(outs[si][k], axis=1)
+                # Software-pipelined over blocks: block w+1's selection
+                # (rolls + gathers + MXU dots) is emitted before block w's
+                # resolve so Mosaic can overlap the MXU/gather stream with
+                # the pure-VPU resolve stream.
+                res_blocks = []
+                cur = sel_block(0)
+                for w in range(nblk):
+                    nxt = sel_block(w + 1) if w + 1 < nblk else None
+                    taps, quad_g = cur
+                    ppx_w = ppx_ref[0:1, 128 * w:128 * (w + 1)]
+                    res_blocks.append(easu_math.easu_resolve(
+                        taps, ppx_w, ppy, dtype=jnp.float32,
+                        dir_dtype=jnp.float32, fast=True, quad_g=quad_g,
+                    ))
+                    cur = nxt
+                if nblk == 1:
+                    return res_blocks[0]
+                return jnp.concatenate(res_blocks, axis=2)
 
-                cg = {k: [cat(ch, k) for ch in range(3)] for k in range(4)}
-                cgg = {qdx: [cat(3 + c, qdx) for c in range(3)]
-                       for qdx in (0, 1)}
-            else:
-                st0 = st_ref[0]  # (tiw, ti): selects source col lfx - 1
-                st_k = {k: rshift(st0, k, 0) for k in range(4)}
-                cg = {k: [sel_cols(tile3[ch], st_k[k]) for ch in range(3)]
-                      for k in range(4)}
-                cgg = {qdx: [sel_cols(comp, st_k[qdx]) for comp in g_tex]
-                       for qdx in (0, 1)}
+            st0 = st_ref[0]  # (tiw, ti): selects source col lfx - 1
+            st_k = {k: rshift(st0, k, 0) for k in range(4)}
+            cg = {k: [sel_cols(tile3[ch], st_k[k]) for ch in range(3)]
+                  for k in range(4)}
+            cgg = {qdx: [sel_cols(comp, st_k[qdx]) for comp in g_tex]
+                   for qdx in (0, 1)}
 
             taps = {}
             for name, (dx, dy) in easu_math.TAP_OFFSETS.items():
@@ -706,14 +784,12 @@ def easu_gather(
                 taps[name] = jnp.stack(
                     [sel_rows(r_k[dy + 1], p) for p in planes], axis=0
                 )
-            quad_off = {"s": (0, 0), "t": (0, 1), "u": (1, 0), "v": (1, 1)}
             quad_g = {
                 qk: tuple(sel_rows(r_k[qdy], p) for p in cgg[qdx])
                 for qk, (qdy, qdx) in quad_off.items()
             }
 
             ppx = ppx_ref[0:1, :]   # (1, ti)
-            ppy = ppy_ref[:, 0:1]   # (tj_e, 1)
 
             # Math is f32 in-kernel (taps arrive f32 from the f32-accumulating
             # dots); compute_dtype controls storage only.
@@ -791,7 +867,7 @@ def easu_gather(
 
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.ANY),  # src
-        pl.BlockSpec((1, tj_e, tih), lambda bi, ty, tx, *_: (ty, 0, 0)),
+        pl.BlockSpec((1, 4 * tj_e, tih), lambda bi, ty, tx, *_: (ty, 0, 0)),
     ]
     operands = [src, R]
     if St is not None:
