@@ -13,6 +13,8 @@ import os
 import subprocess
 import sys
 
+_ROOT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "..")
+
 MODES = [
     ("", "full kernel (baseline)"),
     ("noroll", "alignment rolls removed (and gathers degenerate)"),
@@ -25,7 +27,7 @@ _CHILD = r"""
 import numpy as np, jax, jax.numpy as jnp
 import fsr_tpu
 from fsr_tpu.utils import profiling
-w, h = {size}
+w, h = SIZE
 rng = np.random.default_rng(7)
 img = jnp.asarray(rng.uniform(0, 1, (3, h, w)).astype(np.float32),
                   dtype=jnp.bfloat16)
@@ -45,8 +47,8 @@ def main():
     for mode, desc in MODES:
         env = dict(os.environ, FSR_GATHER_ABL=mode)
         out = subprocess.run(
-            [sys.executable, "-c", _CHILD.format(size=size)],
-            capture_output=True, text=True, env=env, timeout=600)
+            [sys.executable, "-c", _CHILD.replace("SIZE", repr(size))],
+            capture_output=True, text=True, env=env, timeout=600, cwd=_ROOT)
         line = [l for l in out.stdout.splitlines() if l.startswith("ABL_MS")]
         if not line:
             print(f"{mode or 'base':>10}: FAILED\n{out.stderr[-500:]}")

@@ -1,3 +1,5 @@
+import os, sys
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np, jax, jax.numpy as jnp
 import fsr_tpu
 from fsr_tpu.utils import profiling
