@@ -53,12 +53,16 @@ def _encode_u8(x):
     return encode_unorm8(x)
 
 
-def _apply_epilogue_xla(out, epi, frame, grain, dither_page=None):
+def _apply_epilogue_xla(out, epi, frame, grain, dither_page=None, origin=(0, 0)):
     """XLA-path twin of the kernels' fused epilogue (see
     kernels/epilogue.py).  Consistent within the 1/255 fidelity budget:
     the kernel prologue/epilogue use approx.rcp_fast for srtm/srtm_inv
     while ops.extras divides exactly, so impl='auto' results can differ
-    by ~ulps between the TPU and XLA paths."""
+    by ~ulps between the TPU and XLA paths.
+
+    origin: (row0, col0) global coordinate of out[..., 0, 0] — spatially
+    sharded callers pass each shard's offset so dither positions match the
+    unsharded frame."""
     dt = out.dtype
     x = out.astype(jnp.float32)
     if epi.transform == "srtm_inv":
@@ -73,10 +77,10 @@ def _apply_epilogue_xla(out, epi, frame, grain, dither_page=None):
         if epi.dither_texture:
             if dither_page is None:
                 raise ValueError("epilogue.dither_texture requires dither_page")
-            dit = extras.texture_dither(x.shape[-2:], 0, dither_page)
+            dit = extras.texture_dither(x.shape[-2:], 0, dither_page, origin=origin)
         else:
             dit = extras.tepd_dither(
-                x.shape[-2:], 0 if frame is None else frame
+                x.shape[-2:], 0 if frame is None else frame, origin=origin
             )
         x = extras.tepd_quantize(x, dit, bits=epi.dither_bits)
     return x.astype(dt)

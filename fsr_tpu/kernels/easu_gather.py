@@ -157,6 +157,96 @@ def _axis_plan(f: np.ndarray, n_out: int, tile: int, pad_lead: int, align: int,
     return starts, local, window
 
 
+def build_shard_plans(in_size, out_size, con: EasuConstants, n: int,
+                      halo: int = 8, apply_rcas: bool = True):
+    """Host-side per-shard row plans for row-sharded general-ratio upscaling.
+
+    The gather kernel's row plan (window starts, one-hot row selectors, row
+    fractions) already flows in as operands — only its construction is
+    host-side.  For spatial sharding the plan is built here from the GLOBAL
+    coordinate mapping (bit-identical to the unsharded `easu_coords` floats,
+    so shard seams are exact), restricted per shard k to output rows
+    [k*hl, (k+1)*hl) with source indices relative to the shard's halo'd
+    strip buffer `concat(up_halo, strip, down_halo)`; global-edge clamping
+    rides the halo rows, which the sharded caller edge-replicates at the
+    top/bottom shards (the sampler CLAMP rule, ffx_fsr1.h:354-360 tap
+    clamping via FSR_Filter.cpp:49-50's clamp sampler).
+
+    Returns (meta, plan):
+      meta: dict with static geometry — tih (row window), pad_bottom (zero
+        rows each shard appends to its strip buffer before the kernel
+        call), tj/tj_e/ny_l, halo.
+      plan: dict of stacked per-shard arrays, each with leading axis n for
+        shard_map to split —
+        row_starts (n, ny_l) i32, R (n, ny_l, 4*tj_e, tih) bf16,
+        ppy (n, ny_l*tj_e, 128) f32  [kernel path],
+        rows_xla (n, hl+2) i32, py_xla (n, hl+2) f32  [XLA path: local
+        base source row + fraction per output row incl. one RCAS halo
+        row each side].
+    """
+    hin, win = in_size
+    hout, wout = out_size
+    if hout % n or hin % n:
+        raise ValueError(f"row sharding needs n | sizes (h {hin}->{hout}, n={n})")
+    hl, hin_l = hout // n, hin // n
+    if hin_l < halo:
+        raise ValueError(f"shard strips of {hin_l} rows cannot host a {halo}-row halo")
+    fx, fy, px, py = easu_coords(con, out_size)
+    tj, _ = _pick_tiles(hl, wout, apply_rcas=apply_rcas)
+    rhalo = 1 if apply_rcas else 0
+    tj_e = -(-(tj + 2) // 8) * 8 if apply_rcas else tj
+    ny_l = -(-hl // tj)
+    buf = hin_l + 2 * halo
+    starts = np.zeros((n, ny_l), np.int32)
+    lfy = np.zeros((n, ny_l, tj_e), np.int64)
+    ppy = np.zeros((n, ny_l * tj_e, 128), np.float32)
+    span = 0
+    for k in range(n):
+        base = k * hin_l - halo
+        # Ragged-tile overflow rows (pallas output padding) clamp to the
+        # shard's own trail-halo row so their taps stay within the strip;
+        # the rcas halo rows themselves clamp against the GLOBAL range.
+        lo = max(0, k * hl - rhalo)
+        hi = min(hout - 1, (k + 1) * hl - 1 + rhalo)
+        for t in range(ny_l):
+            j0 = k * hl + t * tj - rhalo
+            idx = np.clip(np.arange(j0, j0 + tj_e), lo, hi)
+            fw = fy[idx].astype(np.int64) - base
+            if fw.min() < 1 or fw.max() + 2 >= buf:
+                raise ValueError(
+                    f"halo {halo} cannot host shard {k}'s taps "
+                    f"(local rows {fw.min()}..{fw.max()} of {buf})"
+                )
+            start = max(0, int(fw[0] - 1) // 8 * 8)
+            starts[k, t] = start
+            lfy[k, t] = fw - start
+            span = max(span, int((fw - start).max()) + 3)
+            ppy[k, t * tj_e:(t + 1) * tj_e] = py[idx][:, None]
+    tih = -(-span // 8) * 8
+    pad_bottom = max(0, int(starts.max()) + tih - buf)
+    R = np.zeros((n, ny_l, 4 * tj_e, tih), np.float32)
+    for k in range(n):
+        for t in range(ny_l):
+            for s in range(4):
+                R[k, t, s * tj_e + np.arange(tj_e), lfy[k, t] - 1 + s] = 1.0
+    rows_xla = np.zeros((n, hl + 2), np.int32)
+    py_xla = np.zeros((n, hl + 2), np.float32)
+    for k in range(n):
+        idx = np.clip(np.arange(k * hl - 1, (k + 1) * hl + 1), 0, hout - 1)
+        rows_xla[k] = fy[idx] - (k * hin_l - halo)
+        py_xla[k] = py[idx]
+    meta = dict(tih=tih, pad_bottom=pad_bottom, tj=tj, tj_e=tj_e,
+                ny_l=ny_l, halo=halo)
+    plan = dict(
+        row_starts=jnp.asarray(starts),
+        R=jnp.asarray(R, jnp.bfloat16),
+        ppy=jnp.asarray(ppy),
+        rows_xla=jnp.asarray(rows_xla),
+        py_xla=jnp.asarray(py_xla),
+    )
+    return meta, plan
+
+
 def _detect_x_phase(fxv: np.ndarray, wout: int):
     """Exact rational X-phase structure of the *integer* source mapping:
     fx(qx*j + b) == stride*j + rx[b].  Checked against the ground-truth
@@ -190,7 +280,8 @@ def _detect_x_phase(fxv: np.ndarray, wout: int):
 @functools.partial(
     jax.jit,
     static_argnames=("out_size", "con", "rcon", "apply_rcas", "denoise",
-                     "compute_dtype", "epilogue", "prologue", "out_dtype"),
+                     "compute_dtype", "epilogue", "prologue", "out_dtype",
+                     "row_meta"),
 )
 def easu_gather(
     image: jnp.ndarray,
@@ -206,6 +297,9 @@ def easu_gather(
     prologue: str = "none",
     out_dtype=None,
     dither_page=None,
+    row_plan=None,
+    row_meta=None,
+    row_offset=None,
 ) -> jnp.ndarray:
     """EASU upscale (optionally + fused RCAS) for arbitrary ratios.
 
@@ -218,6 +312,13 @@ def easu_gather(
     kernel, `grain` is plain output-space (3, Hout, Wout).
     prologue: "none" | "srtm" — SRTM tonemap applied to the input tile in
     VMEM before EASU (FsrSrtmF, ffx_fsr1.h:1043).
+    row_plan / row_meta: prebuilt per-shard row plan for spatially sharded
+    execution (see build_shard_plans).  row_plan is the traced arrays
+    (row_starts (ny,), R (ny, 4*tj_e, tih), ppy (ny*tj_e, 128)); row_meta
+    is the static tuple (tih,).  The image must then be the shard's
+    halo'd strip buffer with `pad_bottom` extra zero rows already
+    appended (rows fully prepared by the caller; columns are still
+    padded here, from the GLOBAL column mapping).
     uint8 I/O: a uint8 image is decoded v/255 in-kernel (byte source +
     byte tile DMAs); out_dtype=jnp.uint8 encodes the D3D UNORM rule at
     the store (see kernels/fused.py).
@@ -263,10 +364,25 @@ def easu_gather(
     tj_e = -(-(tj + 2) // 8) * 8 if apply_rcas else tj
     nsteps = nx + 1 if apply_rcas else nx
 
-    pad_top = max(0, 2 - int(fy[0]))
+    if row_plan is not None:
+        if row_meta is None:
+            raise ValueError("row_plan requires row_meta")
+        rs_op, r_op, ppy_op = row_plan
+        tih = int(row_meta[0])
+        # The caller prepared the rows (halo'd strip + bottom zero pad);
+        # only columns are padded below.
+        pad_top = 0
+        if r_op.shape != (ny, 4 * tj_e, tih):
+            raise ValueError(
+                f"row plan R is {r_op.shape}, kernel geometry wants "
+                f"{(ny, 4 * tj_e, tih)} — was the plan built with the same "
+                f"out_size/apply_rcas?"
+            )
+    else:
+        pad_top = max(0, 2 - int(fy[0]))
+        row_starts, lfy, tih = _axis_plan(fy, hout, tj, pad_top, 8,
+                                          lead=rhalo, ext=tj_e)
     pad_left = max(0, 2 - int(fx[0]))
-    row_starts, lfy, tih = _axis_plan(fy, hout, tj, pad_top, 8,
-                                      lead=rhalo, ext=tj_e)
     col_starts, lfx, tiw = _axis_plan(fx, wout, ti, pad_left, 128)
 
     if xp is not None:
@@ -280,7 +396,10 @@ def easu_gather(
         if xp is not None:
             m0max = (max(lfx0) + 2) // stride_h + 1
             tiw = max(tiw, -(-(stride_h * (128 + m0max) + stride_h) // 128) * 128)
-    pad_bottom = max(0, int(row_starts.max()) + tih - (hin + pad_top))
+    if row_plan is not None:
+        pad_bottom = 0
+    else:
+        pad_bottom = max(0, int(row_starts.max()) + tih - (hin + pad_top))
     pad_right = max(0, int(col_starts.max()) + tiw - (win + pad_left))
 
     # Input prep: one pass over the image, edge-replicated + converted.
@@ -325,11 +444,14 @@ def easu_gather(
     # (the 48 tiny 128x-tih-x128 dots per block were matmul-issue-bound, not
     # FLOP-bound); the other paths slice their per-dy selectors out of the
     # same operand.  _axis_plan guarantees lfy - 1 + 3 < tih, so no wrap.
-    R = np.zeros((ny, 4 * tj_e, tih), np.float32)
-    for t in range(ny):
-        for k in range(4):
-            R[t, k * tj_e + np.arange(tj_e), lfy[t] - 1 + k] = 1.0
-    R = jnp.asarray(R, jnp.bfloat16)
+    if row_plan is not None:
+        R = r_op.astype(jnp.bfloat16)
+    else:
+        R = np.zeros((ny, 4 * tj_e, tih), np.float32)
+        for t in range(ny):
+            for k in range(4):
+                R[t, k * tj_e + np.arange(tj_e), lfy[t] - 1 + k] = 1.0
+        R = jnp.asarray(R, jnp.bfloat16)
 
     # Column path selection: per 128-lane output block, tap columns are a
     # dynamic roll (block's earliest tap -> lane 0) + a within-vreg gather;
@@ -390,18 +512,36 @@ def easu_gather(
                 ppx_arr[:, t * ti + 128 * b:t * ti + 128 * (b + 1)] = px[idx][None, :]
     else:
         ppx_arr[:, :wout] = px[None, :]
-    ppy_arr = np.zeros((ny * tj_e, 128), np.float32)
-    for t in range(ny):
-        idx = np.clip(np.arange(t * tj - rhalo, t * tj - rhalo + tj_e), 0, hout - 1)
-        ppy_arr[t * tj_e:(t + 1) * tj_e, :] = py[idx][:, None]
+    if row_plan is not None:
+        ppy_arr = ppy_op.astype(jnp.float32)
+        if ppy_arr.shape != (ny * tj_e, 128):
+            raise ValueError(
+                f"row plan ppy is {ppy_arr.shape}, want {(ny * tj_e, 128)}"
+            )
+        rs_arr = rs_op.astype(jnp.int32)
+    else:
+        ppy_arr = np.zeros((ny * tj_e, 128), np.float32)
+        for t in range(ny):
+            idx = np.clip(np.arange(t * tj - rhalo, t * tj - rhalo + tj_e), 0, hout - 1)
+            ppy_arr[t * tj_e:(t + 1) * tj_e, :] = py[idx][:, None]
+        ppy_arr = jnp.asarray(ppy_arr)
+        rs_arr = jnp.asarray(row_starts)
     ppx_arr = jnp.asarray(ppx_arr)
-    ppy_arr = jnp.asarray(ppy_arr)
 
     sharp = float(rcon.sharpness) if rcon is not None else 0.0
 
     epi = epilogue
     if epi is not None and epi.is_noop:
         epi = None
+    if epi is not None and row_plan is not None and row_offset is None:
+        raise ValueError(
+            "fused epilogue under a sharded row plan needs row_offset (the "
+            "TEPD hash, dither page, and grain use global coordinates)"
+        )
+    dyn_off = row_offset is not None
+    roff_arr = (
+        jnp.asarray(row_offset, jnp.int32).reshape(1) if dyn_off else None
+    )
     frame_arr = grain_arr = None
     if epi is not None:
         if epi.needs_frame:
@@ -436,7 +576,7 @@ def easu_gather(
         scratch = rest[-nscr:]
         out_ref = rest[-nscr - 1]
         ins = rest[: -nscr - 1]
-        st_ref = ci_ref = frame_ref = grain_ref = None
+        st_ref = ci_ref = frame_ref = grain_ref = roff_ref = None
         if not col_gather and xp is None:
             st_ref = ins.pop(0)
         ppx_ref = ins.pop(0)
@@ -445,6 +585,8 @@ def easu_gather(
             ci_ref = ins.pop(0)
         if frame_arr is not None:
             frame_ref = ins.pop(0)
+        if roff_arr is not None:
+            roff_ref = ins.pop(0)
         if grain_arr is not None:
             grain_ref = ins.pop(0)
         dith_ref = None
@@ -464,14 +606,17 @@ def easu_gather(
 
         def run_epilogue(res, out_ty, out_tx):
             """res: (3, tj, ti) output rows of tile (out_ty, out_tx)."""
+            row_off = roff_ref[0] if roff_ref is not None else 0
             rlane = jax.lax.broadcasted_iota(jnp.int32, (1, tj, ti), 2)
-            rrow = out_ty * tj + jax.lax.broadcasted_iota(
+            rrow = row_off + out_ty * tj + jax.lax.broadcasted_iota(
                 jnp.int32, (1, tj, ti), 1
             )
             dit = None
             if dith_ref is not None:
                 rr = dith_ref.shape[1]
-                sh = jax.lax.rem(out_ty * tj, 128)
+                # Global plane row: the 128-row page tiles periodically, so
+                # a sharded row offset folds straight into the roll.
+                sh = jnp.remainder(row_off + out_ty * tj, 128)
                 dit = pltpu.roll(
                     dith_ref[:, :, :], jnp.remainder(-sh, rr), axis=1
                 )[0][:tj]
@@ -887,6 +1032,9 @@ def easu_gather(
     if frame_arr is not None:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
         operands.append(frame_arr)
+    if roff_arr is not None:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        operands.append(roff_arr)
     if grain_arr is not None:
         if apply_rcas:
             gidx = lambda bi, ty, tx, *_: (0, ty, jnp.maximum(tx - 1, 0))
@@ -909,5 +1057,5 @@ def easu_gather(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nb, 3, hout, wout), out_dt),
         interpret=INTERPRET,
-    )(jnp.asarray(row_starts), jnp.asarray(col_starts), cbase_flat, *operands)
+    )(rs_arr, jnp.asarray(col_starts), cbase_flat, *operands)
     return out.reshape(batch_dims + (3, hout, wout))

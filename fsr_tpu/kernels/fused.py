@@ -520,6 +520,17 @@ def upscale_fused(
     epi = epilogue
     if epi is not None and epi.is_noop:
         epi = None
+    if epi is not None and dyn_off and (epi.needs_grain or epi.needs_dither_tex):
+        # The grain/dither-page operands are phase-planar in LOCAL
+        # coordinates: a row offset that is not a multiple of qy permutes
+        # which page plane each phase should read, which the kernel does
+        # not (yet) re-derive.  The TEPD hash epilogue is fine (its
+        # coordinates are global via row_offset).
+        raise ValueError(
+            "row_offset cannot be combined with a fused grain or dither "
+            "texture (phase-planar operands assume offset 0); apply those "
+            "as an after-pass or use the sharded wrapper's XLA path"
+        )
     frame_arr = grain_arr = None
     if epi is not None:
         if epi.needs_frame:

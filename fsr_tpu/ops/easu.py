@@ -53,6 +53,7 @@ def easu(
     con: EasuConstants,
     compute_dtype=jnp.float32,
     precision: str = "mixed",
+    rows=None,
 ) -> jnp.ndarray:
     """EASU upscale.
 
@@ -63,6 +64,15 @@ def easu(
       float32 under low-precision compute (stays within the 1/255 budget vs
       the fp32 oracle even on noise); "strict" runs everything in
       compute_dtype, emulating FsrEasuH when compute_dtype=float16.
+    rows: optional (row_idx, py_rows) override of the vertical coordinate
+      plan — traced int32/float32 arrays of length Hout giving each output
+      row's base source row (local index into `src`) and subpixel fraction.
+      Used by spatially sharded execution (parallel/spatial.py), where the
+      per-shard values must come from the GLOBAL host-exact mapping rather
+      than be recomputed from shard-local constants (f32 coordinate math
+      would drift by ulps across shards).  Tap rows still clamp into src
+      (global-edge shards carry edge-replicated halo rows, so the local
+      clamp reproduces the sampler's CLAMP rule bit-for-bit).
 
     Returns (..., 3, Hout, Wout) in compute_dtype.
     """
@@ -71,16 +81,24 @@ def easu(
     dt = jnp.dtype(compute_dtype)
     dir_dt = dt if precision == "strict" else jnp.float32
     src = src.astype(dt)
+    if rows is not None:
+        row_base, py_rows = rows
 
     taps = {}
     for name, (dx, dy) in easu_math.TAP_OFFSETS.items():
-        r = jnp.asarray(np.clip(row + dy, 0, hin - 1))
+        if rows is None:
+            r = jnp.asarray(np.clip(row + dy, 0, hin - 1))
+        else:
+            r = jnp.clip(row_base.astype(jnp.int32) + dy, 0, hin - 1)
         c = jnp.asarray(np.clip(col + dx, 0, win - 1))
         plane = src[..., r[:, None], c[None, :]]  # XLA gather
         taps[name] = tuple(plane[..., i, :, :] for i in range(plane.shape[-3]))
 
     ppx = jnp.asarray(px, jnp.float32)[None, :]
-    ppy = jnp.asarray(py, jnp.float32)[:, None]
+    if rows is None:
+        ppy = jnp.asarray(py, jnp.float32)[:, None]
+    else:
+        ppy = py_rows.astype(jnp.float32)[:, None]
     out = easu_math.easu_resolve(taps, ppx, ppy, dtype=dt, dir_dtype=dir_dt)
     return jnp.stack(out, axis=-3)
 

@@ -57,17 +57,27 @@ def lfga(c: jnp.ndarray, grain: jnp.ndarray, amount) -> jnp.ndarray:
 
 
 @functools.partial(jax.jit, static_argnames=("shape",))
-def tepd_dither(shape, frame) -> jnp.ndarray:
+def tepd_dither(shape, frame, origin=(0, 0)) -> jnp.ndarray:
     """Golden-ratio ordered dither positions, {0..<1} (FsrTepdDitF).
 
     shape: (H, W); frame: temporal frame index (traced or static).
+    origin: (row0, col0) global coordinate of the top-left pixel (traced or
+    static) — spatially sharded execution passes each shard's offset so the
+    hash matches the unsharded positions.
     Float32 only — the reference notes only 32-bit has enough precision
     (ffx_fsr1.h:1084).
     """
     h, w = shape
+    r0, c0 = origin
     f32 = jnp.float32
-    x = (jnp.arange(w, dtype=jnp.uint32) + jnp.uint32(frame)).astype(f32)[None, :]
-    y = jnp.arange(h, dtype=f32)[:, None]
+    x = (
+        jnp.arange(w, dtype=jnp.uint32)
+        + jnp.asarray(c0, jnp.uint32)
+        + jnp.uint32(frame)
+    ).astype(f32)[None, :]
+    y = (jnp.arange(h, dtype=jnp.uint32) + jnp.asarray(r0, jnp.uint32)).astype(
+        f32
+    )[:, None]
     a = np.float32((1.0 + np.sqrt(np.float64(5.0))) / 2.0)
     b = np.float32(1.0 / 3.69)
     v = x * a + (y * b)
@@ -75,7 +85,7 @@ def tepd_dither(shape, frame) -> jnp.ndarray:
 
 
 @functools.partial(jax.jit, static_argnames=("shape",))
-def texture_dither(shape, frame, texture: jnp.ndarray) -> jnp.ndarray:
+def texture_dither(shape, frame, texture: jnp.ndarray, origin=(0, 0)) -> jnp.ndarray:
     """Dither positions from a user texture (the sample's temporal blue
     noise: FSR_Tonemapping.hlsl:86-88 samples a 128x128x64 stack page-indexed
     by frame; generate one with fsr_tpu.utils.noise.temporal_blue_noise).
@@ -83,6 +93,9 @@ def texture_dither(shape, frame, texture: jnp.ndarray) -> jnp.ndarray:
     shape: output (H, W); frame: temporal index (traced or static);
     texture: (pages, th, tw) or (th, tw) with values in [0, 1).  The page is
     selected by frame mod pages and tiled over the output.
+    origin: (row0, col0) global coordinate of the top-left pixel (traced or
+    static) for spatially sharded execution — the periodic tiling shifts so
+    shard-local positions match the unsharded ones.
     """
     h, w = shape
     tex = jnp.asarray(texture)
@@ -92,6 +105,14 @@ def texture_dither(shape, frame, texture: jnp.ndarray) -> jnp.ndarray:
     page = jax.lax.dynamic_index_in_dim(
         tex, jnp.asarray(frame, jnp.int32) % pages, axis=0, keepdims=False
     )
+    r0, c0 = origin
+    static0 = isinstance(r0, int) and isinstance(c0, int)
+    if not (static0 and r0 == 0 and c0 == 0):
+        page = jnp.roll(
+            page,
+            (-jnp.asarray(r0, jnp.int32), -jnp.asarray(c0, jnp.int32)),
+            axis=(0, 1),
+        )
     reps = (-(-h // th), -(-w // tw))
     return jnp.tile(page, reps)[:h, :w]
 

@@ -3,13 +3,23 @@
 One frame is split along image rows across the mesh; each device upscales
 its strip after exchanging a small row halo with its neighbors via
 `jax.lax.ppermute` (the TPU analog of the reference's texture-cache halo
-reads at workgroup borders, SURVEY.md section 5 "long-context").
+reads at workgroup borders, SURVEY.md section 5 "long-context").  Matches
+the reference's ratio-agnostic tiling (FSR_Filter.cpp:113-115 dispatches
+ceil(display/16)^2 workgroups at every quality preset).
 
-Supported for scale factors with exact phase structure (the same condition
-as the fused kernel: the f32 coordinate mapping must advance one source row
-per qy output rows), so that every shard's coordinate arithmetic is a
-bit-exact shifted copy of the global mapping.  2x/4x presets qualify; other
-ratios use batch sharding instead.
+Two regimes, both bit-exact vs the unsharded paths:
+
+- **Exact-phase ratios** (2x/4x): every shard's coordinate mapping is a
+  shifted copy of the global one (the k-dependent term cancels in f32), so
+  shards run the phase-decomposed fused kernel with shard-local constants.
+- **Arbitrary ratios** (1.3x/1.5x/1.7x quality presets, DRS): the
+  coordinate mapping does NOT shift cleanly across shards (f32 drift), so
+  the row plan is built on the host from the GLOBAL mapping
+  (kernels/easu_gather.build_shard_plans) and fed to each shard as sharded
+  operands — the gather kernel consumes prebuilt plans directly; the XLA
+  fallback takes the same per-row (source row, fraction) vectors via
+  `ops.easu(rows=...)`.  Shard seams are exact because every shard uses
+  the same host floats the unsharded path would.
 """
 
 from __future__ import annotations
@@ -26,13 +36,15 @@ from jax.experimental.shard_map import shard_map
 
 from fsr_tpu.core import easu_math
 from fsr_tpu.core.constants import EasuConstants, RcasConstants
+from fsr_tpu.kernels import easu_gather as easu_gather_mod
 from fsr_tpu.kernels import fused
 from fsr_tpu.ops import easu as easu_ops
 from fsr_tpu.ops.rcas import shift_clamped
 
 __all__ = ["upscale_spatial_sharded", "spatial_shardable"]
 
-_HALO = 4  # input rows exchanged per side; covers EASU taps + RCAS halo
+_HALO = 4   # exact-phase path: input rows exchanged per side
+_GHALO = 8  # general-ratio path: covers f32 coordinate drift + taps
 
 
 def _kernel_path(mesh: "Mesh") -> bool:
@@ -40,12 +52,10 @@ def _kernel_path(mesh: "Mesh") -> bool:
     return mesh.devices.flat[0].platform == "tpu" and not fused.INTERPRET
 
 
-def spatial_shardable(in_size, out_size, n_shards: int) -> bool:
-    """Check the exact-phase + divisibility conditions for row sharding."""
+def _exact_phase(in_size, out_size, n_shards: int) -> bool:
+    """Exact phase structure: every shard's mapping is a shifted copy."""
     hin, win = in_size
     hout, wout = out_size
-    if hin % n_shards or hout % n_shards:
-        return False
     con = EasuConstants.create((win, hin), None, (wout, hout))
     st = fused._phase_structure(con, (hout, wout))
     if st is None:
@@ -55,6 +65,24 @@ def spatial_shardable(in_size, out_size, n_shards: int) -> bool:
     # Each shard must start on phase 0 and advance by exactly its local
     # input height, so every shard's coordinate pattern is identical.
     return hl_out % qy == 0 and hl_out // qy == hin // n_shards
+
+
+def spatial_shardable(in_size, out_size, n_shards: int) -> bool:
+    """Check the divisibility/strip-size conditions for row sharding.
+
+    Any upscale ratio qualifies (arbitrary ratios ride host-built global
+    row plans); the strip must divide evenly and be tall enough to host
+    the halo exchange.
+    """
+    hin, win = in_size
+    hout, wout = out_size
+    if hin % n_shards or hout % n_shards:
+        return False
+    if hout < hin or wout < win:
+        return False
+    if _exact_phase(in_size, out_size, n_shards):
+        return hin // n_shards >= _HALO
+    return hin // n_shards >= _GHALO and hout // n_shards >= 2
 
 
 def _local_constants(con: EasuConstants, sy: float, halo: int) -> EasuConstants:
@@ -73,11 +101,50 @@ def _local_constants(con: EasuConstants, sy: float, halo: int) -> EasuConstants:
     )
 
 
+def _exchange_halo(block, idx, axis, n, halo):
+    """Neighbor row halos via ppermute; edge replication at global ends."""
+    up = lax.ppermute(
+        block[..., -halo:, :], axis, [(i, (i + 1) % n) for i in range(n)]
+    )
+    down = lax.ppermute(
+        block[..., :halo, :], axis, [(i, (i - 1) % n) for i in range(n)]
+    )
+    # Wrap-around halos at the global top/bottom are invalid; replace
+    # with edge replication (the sampler's CLAMP behavior).
+    top_edge = jnp.repeat(block[..., :1, :], halo, axis=-2)
+    bot_edge = jnp.repeat(block[..., -1:, :], halo, axis=-2)
+    up = jnp.where(idx == 0, top_edge, up)
+    down = jnp.where(idx == n - 1, bot_edge, down)
+    return jnp.concatenate([up, block, down], axis=-2)
+
+
+def _rcas_tail(easu_out, idx, hl_out, hout, rcon, dt, denoise):
+    """RCAS over local rows given EASU rows [-1, hl_out+1) (XLA path)."""
+    b = easu_out[..., 0:hl_out, :]
+    e = easu_out[..., 1 : 1 + hl_out, :]
+    h = easu_out[..., 2 : 2 + hl_out, :]
+    d = shift_clamped(e, 0, -1)
+    f = shift_clamped(e, 0, 1)
+    # Global top/bottom rows clamp their vertical taps (image border).
+    grow = idx * hl_out + jnp.arange(hl_out)[:, None]
+    b = jnp.where(grow == 0, e, b)
+    h = jnp.where(grow == hout - 1, e, h)
+
+    def split(p):
+        return tuple(p[..., ch, :, :] for ch in range(3))
+
+    sharp = rcon.sharpness_f16 if dt == jnp.float16 else rcon.sharpness
+    res = easu_math.rcas_resolve(
+        split(b), split(d), split(e), split(f), split(h), sharp, denoise=denoise
+    )
+    return jnp.stack(res, axis=-3)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "out_size", "mesh", "axis", "batch_axis", "sharpness", "apply_rcas",
-        "denoise", "compute_dtype",
+        "denoise", "compute_dtype", "epilogue", "prologue",
     ),
 )
 def upscale_spatial_sharded(
@@ -90,87 +157,194 @@ def upscale_spatial_sharded(
     apply_rcas: bool = True,
     denoise: bool = False,
     compute_dtype=jnp.float32,
+    epilogue=None,
+    frame=0,
+    grain=None,
+    dither_page=None,
+    prologue: str = "none",
 ) -> jnp.ndarray:
     """Upscale (..., 3, H, W) with H row-sharded across `mesh[axis]`.
 
-    batch_axis: optionally also shard the leading batch dimension across a
-    second mesh axis (dp x sp execution in one shard_map).
+    Any upscale ratio (1x..4x area, like FsrEasuF).  batch_axis: optionally
+    also shard the leading batch dimension across a second mesh axis
+    (dp x sp execution in one shard_map).
+
+    epilogue / frame / grain / dither_page / prologue: the same fused
+    pre/post-ops as `api.upscale` — the TEPD hash, dither page, and grain
+    all use GLOBAL coordinates (per-shard row offsets are threaded into
+    the kernels), so sharded output matches unsharded.  `grain` is plain
+    output-space (3, Hout, Wout), row-sharded with the output.  On the
+    exact-phase (2x/4x) kernel path, grain and texture dither are not yet
+    fused (the phase-planar operands need a phase-aligned offset); those
+    configs run the per-shard XLA path instead.
     """
+    from fsr_tpu.api import _apply_epilogue_xla
+    from fsr_tpu.ops import extras
+
     hout, wout = out_size
     hin, win = image.shape[-2:]
     n = mesh.shape[axis]
     if not spatial_shardable((hin, win), (hout, wout), n):
         raise ValueError(
-            f"spatial sharding needs exact phase structure and divisibility "
+            f"spatial sharding needs divisible, halo-sized strips "
             f"(in={hin}x{win} out={hout}x{wout} shards={n})"
         )
+    if prologue not in ("none", "srtm"):
+        raise ValueError(f"unknown prologue {prologue!r}")
     con = EasuConstants.create((win, hin), None, (wout, hout))
-    sy = float(con.scale[1])
     rcon = RcasConstants(sharpness)
-    con_loc = _local_constants(con, sy, _HALO)
     hl_out = hout // n
     dt = jnp.dtype(compute_dtype)
-
-    def local_fn(block):
-        # block: (..., 3, Hl, W) local strip
-        idx = lax.axis_index(axis)
-        up = lax.ppermute(
-            block[..., -_HALO:, :], axis, [(i, (i + 1) % n) for i in range(n)]
-        )
-        down = lax.ppermute(
-            block[..., :_HALO, :], axis, [(i, (i - 1) % n) for i in range(n)]
-        )
-        # Wrap-around halos at the global top/bottom are invalid; replace
-        # with edge replication (the sampler's CLAMP behavior).
-        top_edge = jnp.repeat(block[..., :1, :], _HALO, axis=-2)
-        bot_edge = jnp.repeat(block[..., -1:, :], _HALO, axis=-2)
-        up = jnp.where(idx == 0, top_edge, up)
-        down = jnp.where(idx == n - 1, bot_edge, down)
-        padded = jnp.concatenate([up, block, down], axis=-2)
-
-        # On TPU, run the fused Pallas kernel per shard so multi-chip
-        # throughput scales the kernel-path number (the RCAS border clamp
-        # uses global row coordinates via row_offset, so edge shards stay
-        # bit-exact); the XLA path below serves CPU meshes and f16.
-        if _kernel_path(mesh) and fused.supported(
-            padded.shape, (hl_out + 2, wout), con_loc, dt
-        ):
-            out = fused.upscale_fused(
-                padded, (hl_out + 2, wout), con_loc, rcon,
-                apply_rcas=apply_rcas, denoise=denoise, compute_dtype=dt,
-                row_offset=idx * hl_out - 1, global_rows=hout,
-            )
-            return out[..., 1:-1, :]
-
-        # EASU over local rows [-1, hl_out+1) (one output row of RCAS halo).
-        easu_out = easu_ops.easu(
-            padded, (hl_out + 2, wout), con_loc, compute_dtype=dt
-        )
-        if not apply_rcas:
-            return easu_out[..., 1:-1, :]
-
-        b = easu_out[..., 0:hl_out, :]
-        e = easu_out[..., 1 : 1 + hl_out, :]
-        h = easu_out[..., 2 : 2 + hl_out, :]
-        d = shift_clamped(e, 0, -1)
-        f = shift_clamped(e, 0, 1)
-        # Global top/bottom rows clamp their vertical taps (image border).
-        grow = idx * hl_out + jnp.arange(hl_out)[:, None]
-        b = jnp.where(grow == 0, e, b)
-        h = jnp.where(grow == hout - 1, e, h)
-
-        def split(p):
-            return tuple(p[..., ch, :, :] for ch in range(3))
-
-        sharp = rcon.sharpness_f16 if dt == jnp.float16 else rcon.sharpness
-        res = easu_math.rcas_resolve(
-            split(b), split(d), split(e), split(f), split(h), sharp, denoise=denoise
-        )
-        return jnp.stack(res, axis=-3)
-
     nb = image.ndim - 3
     lead = (batch_axis,) + (None,) * (nb - 1) if (batch_axis and nb) else (None,) * nb
     spec = P(*lead, None, axis, None)
+
+    epi = epilogue
+    if epi is not None and epi.is_noop:
+        epi = None
+    if epi is not None:
+        if epi.needs_grain and grain is None:
+            raise ValueError("epilogue.grain_amount != 0 requires grain")
+        if epi.needs_dither_tex and dither_page is None:
+            raise ValueError("epilogue.dither_texture requires dither_page")
+    if grain is not None:
+        grain = jnp.asarray(grain, jnp.float32)
+        if grain.shape != (3, hout, wout):
+            raise ValueError(
+                f"grain must be (3, {hout}, {wout}), got {grain.shape}"
+            )
+
+    # Optional epilogue operands, appended to every shard_map call so both
+    # regimes share the plumbing.  frame/dither_page replicate; grain row-
+    # shards with the output.
+    extra_ops, extra_specs = [], []
+    frame_i = jnp.asarray(0 if frame is None else frame, jnp.int32)
+    extra_ops.append(frame_i)
+    extra_specs.append(P())
+    has_grain = grain is not None
+    if has_grain:
+        extra_ops.append(grain)
+        extra_specs.append(P(None, axis, None))
+    has_page = dither_page is not None
+    if has_page:
+        page = jnp.asarray(dither_page, jnp.float32)
+        extra_ops.append(page)
+        extra_specs.append(P(None, None))
+
+    def unpack_extras(rest):
+        rest = list(rest)
+        fr = rest.pop(0)
+        g_l = rest.pop(0) if has_grain else None
+        pg = rest.pop(0) if has_page else None
+        return fr, g_l, pg
+
+    def xla_epilogue(out, idx, fr, g_l, pg):
+        if epi is None:
+            return out
+        return _apply_epilogue_xla(
+            out, epi, fr, g_l, dither_page=pg, origin=(idx * hl_out, 0)
+        )
+
+    if _exact_phase((hin, win), (hout, wout), n):
+        sy = float(con.scale[1])
+        con_loc = _local_constants(con, sy, _HALO)
+        # The fused kernel's grain/dither-page operands are phase-planar;
+        # a row offset of k*hl-1 is not phase-aligned, so those configs run
+        # the XLA path per shard (the TEPD hash epilogue fuses fine — its
+        # coordinates are global via row_offset).
+        kern_epi_ok = epi is None or not (epi.needs_grain or epi.needs_dither_tex)
+
+        def local_fn(block, *rest):
+            # block: (..., 3, Hl, W) local strip
+            idx = lax.axis_index(axis)
+            fr, g_l, pg = unpack_extras(rest)
+            padded = _exchange_halo(block, idx, axis, n, _HALO)
+
+            # On TPU, run the fused Pallas kernel per shard so multi-chip
+            # throughput scales the kernel-path number (the RCAS border
+            # clamp uses global row coordinates via row_offset, so edge
+            # shards stay bit-exact); the XLA path below serves CPU meshes
+            # and f16.
+            if (
+                kern_epi_ok
+                and _kernel_path(mesh)
+                and fused.supported(padded.shape, (hl_out + 2, wout), con_loc, dt)
+            ):
+                out = fused.upscale_fused(
+                    padded, (hl_out + 2, wout), con_loc, rcon,
+                    apply_rcas=apply_rcas, denoise=denoise, compute_dtype=dt,
+                    row_offset=idx * hl_out - 1, global_rows=hout,
+                    epilogue=epi, frame=fr, prologue=prologue,
+                )
+                return out[..., 1:-1, :]
+
+            if prologue == "srtm":
+                padded = extras.srtm(padded)
+            # EASU over local rows [-1, hl_out+1) (one row of RCAS halo).
+            easu_out = easu_ops.easu(
+                padded, (hl_out + 2, wout), con_loc, compute_dtype=dt
+            )
+            if not apply_rcas:
+                out = easu_out[..., 1:-1, :]
+            else:
+                out = _rcas_tail(easu_out, idx, hl_out, hout, rcon, dt, denoise)
+            return xla_epilogue(out, idx, fr, g_l, pg)
+
+        return shard_map(
+            local_fn, mesh=mesh, in_specs=(spec, *extra_specs),
+            out_specs=spec, check_rep=False,
+        )(image, *extra_ops)
+
+    # --- General (arbitrary-ratio) path: host-built global row plans.
+    kp = (
+        _kernel_path(mesh)
+        and dt in (jnp.float32, jnp.bfloat16)
+        and hl_out >= 16
+        and wout >= 128
+    )
+    meta, plan = easu_gather_mod.build_shard_plans(
+        (hin, win), (hout, wout), con, n, halo=_GHALO, apply_rcas=apply_rcas
+    )
+    row_meta = (meta["tih"],)
+    pad_bottom = meta["pad_bottom"]
+
+    def local_fn_g(block, rs, r_sel, ppy, rloc, pyl, *rest):
+        idx = lax.axis_index(axis)
+        fr, g_l, pg = unpack_extras(rest)
+        padded = _exchange_halo(block, idx, axis, n, _GHALO)
+        if kp:
+            buf = jnp.pad(
+                padded,
+                ((0, 0),) * (padded.ndim - 2) + ((0, pad_bottom), (0, 0)),
+            )
+            try:
+                return easu_gather_mod.easu_gather(
+                    buf, (hl_out, wout), con, rcon, apply_rcas=apply_rcas,
+                    denoise=denoise, compute_dtype=dt,
+                    row_plan=(rs[0], r_sel[0], ppy[0]), row_meta=row_meta,
+                    epilogue=epi, frame=fr, grain=g_l, dither_page=pg,
+                    prologue=prologue, row_offset=idx * hl_out,
+                )
+            except easu_gather_mod.DitherTileError:
+                pass  # narrow output: dither page can't tile; XLA below
+        if prologue == "srtm":
+            padded = extras.srtm(padded)
+        easu_out = easu_ops.easu(
+            padded, (hl_out + 2, wout), con, compute_dtype=dt,
+            rows=(rloc[0], pyl[0]),
+        )
+        if not apply_rcas:
+            out = easu_out[..., 1:-1, :]
+        else:
+            out = _rcas_tail(easu_out, idx, hl_out, hout, rcon, dt, denoise)
+        return xla_epilogue(out, idx, fr, g_l, pg)
+
+    pspec = P(axis)
+    in_specs = (spec,) + (pspec,) * 5 + tuple(extra_specs)
     return shard_map(
-        local_fn, mesh=mesh, in_specs=spec, out_specs=spec, check_rep=False
-    )(image)
+        local_fn_g, mesh=mesh, in_specs=in_specs, out_specs=spec,
+        check_rep=False,
+    )(
+        image, plan["row_starts"], plan["R"], plan["ppy"],
+        plan["rows_xla"], plan["py_xla"], *extra_ops,
+    )

@@ -65,9 +65,187 @@ def test_spatial_sharded_batched(rng):
 
 def test_spatial_shardable_gating():
     assert spatial.spatial_shardable((64, 96), (128, 192), 4)
-    assert not spatial.spatial_shardable((60, 96), (128, 192), 4)  # H mismatch
-    assert not spatial.spatial_shardable((64, 96), (96, 144), 4)  # 1.5x: no phase
+    # Non-uniform 60->128 rows has no phase structure but general-shards now.
+    assert spatial.spatial_shardable((60, 96), (128, 192), 4)
+    assert not spatial.spatial_shardable((62, 96), (128, 192), 4)  # 62 % 4
+    # 1.5x has no exact phase structure but rides the general row-plan path.
+    assert spatial.spatial_shardable((64, 96), (96, 144), 2)
     assert not spatial.spatial_shardable((66, 96), (132, 192), 4)  # 66 % 4 != 0
+    # General path needs an 8-row halo per strip: 64/16 = 4 < 8.
+    assert not spatial.spatial_shardable((64, 96), (96, 144), 16)
+
+
+@pytest.mark.parametrize(
+    "in_hw,out_hw,n_sp",
+    [
+        ((96, 144), (144, 216), 4),   # 1.5x quality preset ratio
+        ((80, 130), (136, 221), 2),   # 1.7x balanced preset ratio
+        ((90, 130), (117, 169), 3),   # 1.3x ultra-quality preset ratio
+    ],
+)
+def test_spatial_sharded_general_xla(rng, in_hw, out_hw, n_sp):
+    """Arbitrary-ratio row sharding (XLA path): every shard consumes the
+    global host-exact coordinate plan, so taps/fractions are identical and
+    results match the unsharded path to XLA fusion (FMA) noise — ulps, far
+    below the 1/255 budget.  (The kernel path is bit-exact; see
+    test_spatial_sharded_general_kernel_interpret.)"""
+    mesh = sharding.make_mesh(n_sp, ("sp",))
+    img = rng.uniform(0, 1, (3, *in_hw)).astype(np.float32)
+    out = spatial.upscale_spatial_sharded(jnp.asarray(img), out_hw, mesh, axis="sp")
+    want = _reference(img, out_hw)
+    np.testing.assert_allclose(np.asarray(out), want, atol=1e-6)
+
+
+def test_spatial_sharded_general_easu_only(rng):
+    mesh = sharding.make_mesh(4, ("sp",))
+    in_hw, out_hw = (96, 144), (144, 216)
+    img = rng.uniform(0, 1, (3, *in_hw)).astype(np.float32)
+    out = spatial.upscale_spatial_sharded(
+        jnp.asarray(img), out_hw, mesh, axis="sp", apply_rcas=False
+    )
+    con = EasuConstants.create(
+        (in_hw[1], in_hw[0]), None, (out_hw[1], out_hw[0])
+    )
+    want = np.asarray(easu_ops.easu(jnp.asarray(img), out_hw, con))
+    np.testing.assert_allclose(np.asarray(out), want, atol=1e-6)
+
+
+@pytest.mark.parametrize(
+    "in_hw,out_hw",
+    [
+        ((96, 256), (144, 384)),   # 1.5x: hybrid X-phase kernel mode
+        ((80, 272), (136, 462)),   # ~1.7x: col-gather kernel mode
+    ],
+)
+def test_spatial_sharded_general_kernel_interpret(rng, monkeypatch, in_hw, out_hw):
+    """Force the gather-kernel-per-shard route (interpret mode) on the CPU
+    mesh: shard seams must be bit-exact vs the unsharded gather kernel,
+    which is what runs on real TPU shards."""
+    from fsr_tpu.kernels import easu_gather as eg
+
+    monkeypatch.setattr(eg, "INTERPRET", True)
+    monkeypatch.setattr(spatial, "_kernel_path", lambda mesh: True)
+    n_sp = 4
+    mesh = sharding.make_mesh(n_sp, ("sp",))
+    img = rng.uniform(0, 1, (3, *in_hw)).astype(np.float32)
+    out = spatial.upscale_spatial_sharded(jnp.asarray(img), out_hw, mesh, axis="sp")
+    con = EasuConstants.create(
+        (in_hw[1], in_hw[0]), None, (out_hw[1], out_hw[0])
+    )
+    want = eg.easu_gather(
+        jnp.asarray(img), out_hw, con, RcasConstants(0.25), apply_rcas=True
+    )
+    out, want = np.asarray(out), np.asarray(want)
+    assert np.array_equal(out, want)
+    # Explicit seam check: rows around every shard boundary agree.
+    hl = out_hw[0] // n_sp
+    for k in range(1, n_sp):
+        np.testing.assert_array_equal(
+            out[..., hl * k - 2 : hl * k + 2, :],
+            want[..., hl * k - 2 : hl * k + 2, :],
+        )
+
+
+def test_dither_origin_offsets():
+    """Dither positions with origin=(r0, c0) equal the global positions
+    sliced at that offset — the sharded-epilogue contract."""
+    from fsr_tpu.ops import extras
+
+    full = np.asarray(extras.tepd_dither((64, 96), 7))
+    part = np.asarray(
+        extras.tepd_dither((16, 40), 7, origin=(jnp.int32(24), jnp.int32(8)))
+    )
+    np.testing.assert_array_equal(part, full[24:40, 8:48])
+
+    rng = np.random.default_rng(3)
+    tex = rng.uniform(0, 1, (2, 128, 128)).astype(np.float32)
+    fullt = np.asarray(extras.texture_dither((256, 300), 1, tex))
+    partt = np.asarray(
+        extras.texture_dither((64, 300), 1, tex, origin=(jnp.int32(192), 0))
+    )
+    np.testing.assert_array_equal(partt, fullt[192:256])
+
+
+def test_spatial_sharded_epilogue_kernel_interpret(rng, monkeypatch):
+    """Fused epilogue (grain + TEPD 10-bit dither) under general-ratio
+    sharding, kernel path: bit-exact vs the unsharded gather kernel —
+    the per-shard row offsets feed the global-coordinate hash and the
+    grain row-shards with the output."""
+    from fsr_tpu.kernels import easu_gather as eg
+    from fsr_tpu.kernels.epilogue import Epilogue
+
+    monkeypatch.setattr(eg, "INTERPRET", True)
+    monkeypatch.setattr(spatial, "_kernel_path", lambda mesh: True)
+    n_sp = 4
+    mesh = sharding.make_mesh(n_sp, ("sp",))
+    in_hw, out_hw = (96, 256), (144, 384)
+    img = jnp.asarray(rng.uniform(0, 1, (3, *in_hw)).astype(np.float32))
+    grain = jnp.asarray(
+        rng.uniform(-0.5, 0.5, (3, *out_hw)).astype(np.float32)
+    )
+    epi = Epilogue(transform="gamma2", grain_amount=0.3, dither_bits=10)
+    out = spatial.upscale_spatial_sharded(
+        img, out_hw, mesh, axis="sp", epilogue=epi, frame=5, grain=grain
+    )
+    con = EasuConstants.create(
+        (in_hw[1], in_hw[0]), None, (out_hw[1], out_hw[0])
+    )
+    want = eg.easu_gather(
+        img, out_hw, con, RcasConstants(0.25), apply_rcas=True,
+        epilogue=epi, frame=5, grain=grain,
+    )
+    assert np.array_equal(np.asarray(out), np.asarray(want))
+
+
+def test_spatial_sharded_texture_dither_kernel_interpret(rng, monkeypatch):
+    """Blue-noise texture dither under sharding (the sample's HDR10 output
+    path, FSR_Tonemapping.hlsl:86-88): the 128-row page roll folds in the
+    shard row offset."""
+    from fsr_tpu.kernels import easu_gather as eg
+    from fsr_tpu.kernels.epilogue import Epilogue
+
+    monkeypatch.setattr(eg, "INTERPRET", True)
+    monkeypatch.setattr(spatial, "_kernel_path", lambda mesh: True)
+    mesh = sharding.make_mesh(4, ("sp",))
+    in_hw, out_hw = (96, 256), (144, 384)
+    img = jnp.asarray(rng.uniform(0, 1, (3, *in_hw)).astype(np.float32))
+    page = jnp.asarray(rng.uniform(0, 1, (128, 128)).astype(np.float32))
+    epi = Epilogue(dither_bits=10, dither_texture=True)
+    out = spatial.upscale_spatial_sharded(
+        img, out_hw, mesh, axis="sp", epilogue=epi, dither_page=page
+    )
+    con = EasuConstants.create(
+        (in_hw[1], in_hw[0]), None, (out_hw[1], out_hw[0])
+    )
+    want = eg.easu_gather(
+        img, out_hw, con, RcasConstants(0.25), apply_rcas=True,
+        epilogue=epi, dither_page=page,
+    )
+    assert np.array_equal(np.asarray(out), np.asarray(want))
+
+
+def test_spatial_sharded_epilogue_xla(rng):
+    """XLA-path sharded epilogue (grain + transform, no dither knife
+    edges): matches the unsharded XLA chain."""
+    from fsr_tpu.kernels.epilogue import Epilogue
+    from fsr_tpu import api
+
+    mesh = sharding.make_mesh(4, ("sp",))
+    in_hw, out_hw = (96, 144), (144, 216)
+    img = jnp.asarray(rng.uniform(0, 1, (3, *in_hw)).astype(np.float32))
+    grain = jnp.asarray(
+        rng.uniform(-0.5, 0.5, (3, *out_hw)).astype(np.float32)
+    )
+    epi = Epilogue(transform="gamma2", grain_amount=0.25)
+    out = spatial.upscale_spatial_sharded(
+        img, out_hw, mesh, axis="sp", epilogue=epi, grain=grain
+    )
+    want = api.upscale(
+        img, out_size=out_hw, impl="xla", epilogue=epi, grain=grain
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(want), atol=2e-6
+    )
 
 
 def test_spatial_plus_batch_mesh(rng):
