@@ -135,6 +135,27 @@ def main():
     # Config 5 (v5e-8 sharded preprocessing) needs a multi-chip slice; it is
     # exercised by examples/dataset_preprocessing.py and dryrun_multichip.
 
+    # Sustained-load regime probe (fixed frame size, growing batch): on the
+    # shared v5e, traced regions longer than ~10 ms run ~15-30% slower per
+    # frame than short ones — throttling/tenancy, not code (chunking b=16
+    # into 4 dispatches does not recover it; PLAN.md).  The batch-16
+    # pipeline number above therefore reports the *sustained* regime; the
+    # b<=4 entries here are the per-frame truth for interactive dispatch.
+    try:
+        sus = {}
+        for b in (1, 4, 16):
+            xs = jnp.asarray(
+                np.random.default_rng(8).uniform(
+                    0, 1, (b, 3, hin, win)
+                ).astype(np.float32)
+            )
+            fb = jax.jit(lambda z: fused.upscale_fused(
+                z, out_hw, con, rcon, compute_dtype=jnp.bfloat16))
+            sus[f"b{b}"] = round(device_ms(lambda: fb(xs)) / b, 3)
+        extras["sustained_2x_bf16_ms_per_frame_by_batch"] = sus
+    except Exception as e:  # pragma: no cover
+        print(f"bench sustained failed: {e}", file=sys.stderr)
+
     # On-device fidelity: fused kernel vs the frozen oracle at 540p->1080p,
     # and the fused gather(+RCAS) preset path at a 1.5x config.
     fidelity = None

@@ -133,6 +133,10 @@ def upscale(
     prologue: "none" | "srtm" — SRTM reversible tonemap applied to the
       (RGB) input before EASU, fused into the kernel's tile load on the
       kernel path.
+    RGBA: the kernels resolve alpha in-kernel (bilinear, never sharpened —
+      the RCAS passthrough rule, ffx_fsr1.h:688-705), so a 4-channel
+      upscale is still one kernel dispatch; the XLA path runs the same
+      bilinear as a separate pass.
     uint8 I/O (byte video pipelines): a uint8 image is decoded v/255
       (in-kernel on the TPU path — the source and tile DMAs stay bytes);
       out_dtype=jnp.uint8 encodes floor(sat(v)*255+0.5) (the D3D UNORM
@@ -187,17 +191,27 @@ def upscale(
     # (the reference's passthrough flag applies to RCAS, ffx_fsr1.h:688-705),
     # so alpha rides along bilinearly and is never sharpened — on both the
     # kernel and the XLA path, so impl="auto" gives identical results.
+    # The phase-decomposed kernel resolves alpha in-kernel (one dispatch);
+    # other paths split it into a bilinear pass and concat.
     u8_in = image.dtype == jnp.uint8
     u8_out = out_dtype is not None and jnp.dtype(out_dtype) == jnp.uint8
     u16_out = out_dtype is not None and jnp.dtype(out_dtype) == jnp.uint16
     alpha = None
     rgb = image
     if image.shape[-3] == 4:
-        a_src = image[..., 3:4, :, :]
-        if u8_in:
-            a_src = a_src.astype(jnp.float32) * jnp.float32(1.0 / 255.0)
-        alpha = easu_ops.bilinear(a_src, out_hw, con)
-        rgb = image[..., :3, :, :]
+        kernel_alpha = use_pallas
+        if use_pallas:
+            from fsr_tpu.kernels import dispatch as kdispatch
+
+            kernel_alpha = kdispatch.supports_alpha(
+                image, out_hw, con, compute_dtype, out_dtype=out_dtype
+            )
+        if not kernel_alpha:
+            a_src = image[..., 3:4, :, :]
+            if u8_in:
+                a_src = a_src.astype(jnp.float32) * jnp.float32(1.0 / 255.0)
+            alpha = easu_ops.bilinear(a_src, out_hw, con)
+            rgb = image[..., :3, :, :]
 
     if epilogue is not None and epilogue.is_noop:
         epilogue = None

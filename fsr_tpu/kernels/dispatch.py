@@ -29,12 +29,28 @@ def supported(image, out_size, con: EasuConstants, compute_dtype,
         return False
     shape = image.shape
     if shape[-3] == 4:
-        # api splits off alpha (bilinear) and runs the kernels on RGB.
+        # The phase-decomposed kernel takes RGBA natively (supports_alpha);
+        # for the gather kernel api splits off alpha (bilinear) and runs
+        # the kernel on RGB.
         shape = shape[:-3] + (3,) + shape[-2:]
     return fused.supported(shape, out_size, con, compute_dtype,
                            out_dtype=out_dtype) or (
         easu_gather.supported(shape, out_size, con, compute_dtype,
                               out_dtype=out_dtype)
+    )
+
+
+def supports_alpha(image, out_size, con: EasuConstants, compute_dtype,
+                   out_dtype=None) -> bool:
+    """True when the kernel path consumes RGBA natively (in-kernel bilinear
+    alpha + RCAS passthrough) — one dispatch, no XLA alpha pass."""
+    from fsr_tpu.kernels import fused
+
+    return (
+        _on_tpu()
+        and image.shape[-3] == 4
+        and fused.supported(image.shape, out_size, con, compute_dtype,
+                            out_dtype=out_dtype)
     )
 
 

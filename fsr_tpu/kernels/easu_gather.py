@@ -81,8 +81,8 @@ _ABL = os.environ.get("FSR_GATHER_ABL", "")
 
 def supported(in_shape, out_size, con: EasuConstants, compute_dtype,
               out_dtype=None) -> bool:
-    if len(in_shape) < 3 or in_shape[-3] != 3:
-        return False
+    if len(in_shape) < 3 or in_shape[-3] not in (3, 4):
+        return False  # RGB, or RGBA with in-kernel bilinear alpha
     if jnp.dtype(compute_dtype) not in (jnp.float32, jnp.bfloat16):
         return False
     hout, wout = out_size
@@ -105,18 +105,30 @@ def supported(in_shape, out_size, con: EasuConstants, compute_dtype,
 
 
 def _pick_tiles(hout: int, wout: int, apply_rcas: bool = False,
-                out8: bool = False, out16: bool = False):
-    """On-device sweep (v5e, 1.5x -> 4K): the fused EASU+RCAS pipeline is
-    fastest at (120, 384) — tj=120 makes the 2-row RCAS halo round to one
-    extra sublane granule (128 rows, +6.7%) instead of +12.5% at tj=64, and
-    ti=384 amortizes per-step scratch traffic without the VMEM spills that
-    set in at ti>=512 (re-confirmed over tj 56..216 x ti 128..512 after the
-    col-gather/hybrid rewrites).  The EASU-only kernel keeps (64, 256).
+                out8: bool = False, out16: bool = False, scale=None):
+    """On-device sweeps (v5e, presets -> 4K).  After the per-block
+    gather+resolve restructure the col-gather path favors much wider
+    tiles: (136, 640) wins for 1.7x (1.518 -> 1.453 ms) and (120, 768)
+    for 1.3x (1.66 -> 1.547) — the wider tile amortizes per-step scratch
+    traffic and the per-block software pipeline keeps the live set small
+    regardless of ti.  The hybrid X-phase mode overrides ti to 128*qx and
+    measured best at tj=120 (136/152 were 1.8%/3.2% slower at 1.5x).
+    `scale` is the output/input ratio used to pick between the two
+    regimes; None keeps the pre-sweep (120, 384) plan, which also serves
+    f32 compute (the wide tiles' f32 input window + plane buffers exceed
+    the 16M VMEM scoped limit at 1.3x; measured OOM at (120, 768) f32).
     out8/out16: uint8/uint16 output blocks need a 32/16-row granule ->
-    tj=96/112."""
+    tj=96/112 with the proven (.., 384) plan (not re-swept at 640+).
+    The EASU-only kernel keeps (64, 256)."""
     if apply_rcas:
-        ti = 384 if wout >= 384 else (256 if wout >= 256 else 128)
-        tj = 96 if out8 else (112 if out16 else 120)
+        if out8 or out16 or scale is None:
+            ti = 384 if wout >= 384 else (256 if wout >= 256 else 128)
+            tj = 96 if out8 else (112 if out16 else 120)
+        else:
+            wide_ratio = scale >= 1.6
+            ti = min(640 if wide_ratio else 768,
+                     max(128, wout // 128 * 128))
+            tj = 136 if wide_ratio else 120
         while tj > hout and tj > 8:
             tj = 8 * ((tj // 2) // 8) or 8
         return tj, ti
@@ -158,7 +170,8 @@ def _axis_plan(f: np.ndarray, n_out: int, tile: int, pad_lead: int, align: int,
 
 
 def build_shard_plans(in_size, out_size, con: EasuConstants, n: int,
-                      halo: int = 8, apply_rcas: bool = True):
+                      halo: int = 8, apply_rcas: bool = True,
+                      compute_dtype=jnp.float32):
     """Host-side per-shard row plans for row-sharded general-ratio upscaling.
 
     The gather kernel's row plan (window starts, one-hot row selectors, row
@@ -192,7 +205,11 @@ def build_shard_plans(in_size, out_size, con: EasuConstants, n: int,
     if hin_l < halo:
         raise ValueError(f"shard strips of {hin_l} rows cannot host a {halo}-row halo")
     fx, fy, px, py = easu_coords(con, out_size)
-    tj, _ = _pick_tiles(hl, wout, apply_rcas=apply_rcas)
+    tj, _ = _pick_tiles(
+        hl, wout, apply_rcas=apply_rcas,
+        scale=(1.0 / float(con.scale[1])
+               if jnp.dtype(compute_dtype) == jnp.bfloat16 else None),
+    )
     rhalo = 1 if apply_rcas else 0
     tj_e = -(-(tj + 2) // 8) * 8 if apply_rcas else tj
     ny_l = -(-hl // tj)
@@ -330,6 +347,13 @@ def easu_gather(
     batch_dims = image.shape[:-3]
     image = image.reshape((-1,) + image.shape[-3:])
     nb = image.shape[0]
+    nc = image.shape[1]
+    if nc not in (3, 4):
+        raise ValueError(f"image must have 3 or 4 channels, got {nc}")
+    # RGBA: the 4th channel rides the tile DMA and is bilinear-resolved
+    # through the same column/row selection machinery (EASU defines no
+    # alpha semantics; RCAS passes alpha through, ffx_fsr1.h:688-705).
+    has_alpha = nc == 4
 
     dt = jnp.dtype(compute_dtype)
     u8_in = image.dtype == jnp.uint8
@@ -343,8 +367,10 @@ def easu_gather(
     hout, wout = out_size
     hin, win = image.shape[-2:]
     fx, fy, px, py = easu_coords(con, out_size)
-    tj, ti = _pick_tiles(hout, wout, apply_rcas=apply_rcas, out8=u8_out,
-                         out16=u16_out)
+    tj, ti = _pick_tiles(
+        hout, wout, apply_rcas=apply_rcas, out8=u8_out, out16=u16_out,
+        scale=(1.0 / float(con.scale[1]) if dt == jnp.bfloat16 else None),
+    )
     # Hybrid X-phase mode: when the X mapping is exactly rational (stride
     # source texels per qx outputs — e.g. the Quality 1.5x preset is
     # stride 2 / qx 3), column taps become rolls of stride-deinterleaved
@@ -605,7 +631,12 @@ def easu_gather(
             return res.astype(dt)
 
         def run_epilogue(res, out_ty, out_tx):
-            """res: (3, tj, ti) output rows of tile (out_ty, out_tx)."""
+            """res: (nc, tj, ti) output rows of tile (out_ty, out_tx).
+            Epilogue post-ops are color-space transforms: RGB only, alpha
+            rides along untouched."""
+            al = None
+            if has_alpha:
+                res, al = res[:3], res[3:]
             row_off = roff_ref[0] if roff_ref is not None else 0
             rlane = jax.lax.broadcasted_iota(jnp.int32, (1, tj, ti), 2)
             rrow = row_off + out_ty * tj + jax.lax.broadcasted_iota(
@@ -620,12 +651,15 @@ def easu_gather(
                 dit = pltpu.roll(
                     dith_ref[:, :, :], jnp.remainder(-sh, rr), axis=1
                 )[0][:tj]
-            return epilogue_mod.apply(
+            out = epilogue_mod.apply(
                 res, rrow, out_tx * ti + rlane,
                 frame_ref[0] if frame_ref is not None else 0,
                 grain_ref[:, :, :] if grain_ref is not None else None,
                 epi, dit=dit,
             )
+            if al is not None:
+                out = jnp.concatenate([out, al], axis=0)
+            return out
         bi = pl.program_id(0)
         ty = pl.program_id(1)
         tx = pl.program_id(2)
@@ -698,11 +732,13 @@ def easu_gather(
                     x = jnp.where(gc > chi, rgt, x)
                     tile[:, :, :] = x.astype(dt) if wide else x
 
-            tile3 = tile[:, :, :]
+            tfull = tile[:, :, :]
             if u8_in:
-                tile3 = tile3.astype(jnp.int32).astype(jnp.float32) * jnp.float32(
+                tfull = tfull.astype(jnp.int32).astype(jnp.float32) * jnp.float32(
                     1.0 / 255.0
                 )
+            alpha_t = tfull[3].astype(jnp.float32) if has_alpha else None
+            tile3 = tfull[:3]
             if prologue == "srtm":
                 t3f = tile3.astype(jnp.float32)
                 m = jnp.maximum(jnp.maximum(t3f[0], t3f[1]), t3f[2])
@@ -766,6 +802,8 @@ def easu_gather(
                 # phase's tap columns are static rolls of a parity plane.
                 tile3f = tile3.astype(jnp.float32)
                 srcs = [tile3f[0], tile3f[1], tile3f[2]] + list(g_tex)
+                if has_alpha:
+                    srcs.append(alpha_t)  # index 6 in D / colplane
                 dw = 128 * ((128 + m0max + 127) // 128)
                 nbd = dw // 128
                 lane = jax.lax.broadcasted_iota(jnp.int32, (tih, 128), 1)
@@ -814,15 +852,26 @@ def easu_gather(
                     }
                     ppx_b = ppx_ref[0:1, 128 * b:128 * (b + 1)]
                     ppy = ppy_ref[:, 0:1]
-                    res_phases.append(easu_math.easu_resolve(
+                    res_b = easu_math.easu_resolve(
                         taps, ppx_b, ppy, dtype=jnp.float32,
                         dir_dtype=jnp.float32, fast=True, quad_g=quad_g,
-                    ))
+                    )
+                    if has_alpha:
+                        # Bilinear alpha: same op order as ops.easu.bilinear.
+                        atl = sel_rows(r_k[1], colplane(6, lfx0[b] + 0))
+                        atr = sel_rows(r_k[1], colplane(6, lfx0[b] + 1))
+                        abl = sel_rows(r_k[2], colplane(6, lfx0[b] + 0))
+                        abr = sel_rows(r_k[2], colplane(6, lfx0[b] + 1))
+                        top = atl + (atr - atl) * ppx_b
+                        bot = abl + (abr - abl) * ppx_b
+                        ares = top + (bot - top) * ppy
+                        res_b = jnp.concatenate([res_b, ares[None]], axis=0)
+                    res_phases.append(res_b)
                 # Interleave the qx phase planes along lanes: per output
                 # 128-block one within-vreg gather per phase + selects.
-                flat = [r.reshape(3 * tj_e, 128) for r in res_phases]
+                flat = [r.reshape(nc * tj_e, 128) for r in res_phases]
                 lane2 = jax.lax.broadcasted_iota(
-                    jnp.int32, (3 * tj_e, 128), 1)
+                    jnp.int32, (nc * tj_e, 128), 1)
                 blocks = []
                 for w in range(ti // 128):
                     glob = lane2 + 128 * w
@@ -834,7 +883,7 @@ def easu_gather(
                             ph == b, jnp.take_along_axis(flat[b], idx, axis=1),
                             acc)
                     blocks.append(acc)
-                return jnp.concatenate(blocks, axis=1).reshape(3, tj_e, ti)
+                return jnp.concatenate(blocks, axis=1).reshape(nc, tj_e, ti)
 
             quad_off = {"s": (0, 0), "t": (0, 1), "u": (1, 0), "v": (1, 1)}
             ppy = ppy_ref[:, 0:1]   # (tj_e, 1)
@@ -851,6 +900,8 @@ def easu_gather(
                 # the 2x kernel's utilization).
                 tile3f = tile3.astype(jnp.float32)
                 srcs = [tile3f[0], tile3f[1], tile3f[2]] + list(g_tex)
+                if has_alpha:
+                    srcs.append(alpha_t)  # wins index 6
 
                 def gath(pp, idx):
                     if _ABL in ("nogather", "noroll"):
@@ -895,7 +946,13 @@ def easu_gather(
                             for c in range(3))
                         for qk, (qdy, qdx) in quad_off.items()
                     }
-                    return taps, quad_g
+                    ataps = None
+                    if has_alpha:
+                        ataps = tuple(
+                            selr(r_k[dy + 1], gath(wins[6], bidx + dx + 1))
+                            for dy, dx in ((0, 0), (0, 1), (1, 0), (1, 1))
+                        )
+                    return taps, quad_g, ataps
 
                 # Software-pipelined over blocks: block w+1's selection
                 # (rolls + gathers + MXU dots) is emitted before block w's
@@ -905,12 +962,19 @@ def easu_gather(
                 cur = sel_block(0)
                 for w in range(nblk):
                     nxt = sel_block(w + 1) if w + 1 < nblk else None
-                    taps, quad_g = cur
+                    taps, quad_g, ataps = cur
                     ppx_w = ppx_ref[0:1, 128 * w:128 * (w + 1)]
-                    res_blocks.append(easu_math.easu_resolve(
+                    res_w = easu_math.easu_resolve(
                         taps, ppx_w, ppy, dtype=jnp.float32,
                         dir_dtype=jnp.float32, fast=True, quad_g=quad_g,
-                    ))
+                    )
+                    if has_alpha:
+                        atl, atr, abl, abr = ataps
+                        top = atl + (atr - atl) * ppx_w
+                        bot = abl + (abr - abl) * ppx_w
+                        ares = top + (bot - top) * ppy
+                        res_w = jnp.concatenate([res_w, ares[None]], axis=0)
+                    res_blocks.append(res_w)
                     cur = nxt
                 if nblk == 1:
                     return res_blocks[0]
@@ -938,10 +1002,21 @@ def easu_gather(
 
             # Math is f32 in-kernel (taps arrive f32 from the f32-accumulating
             # dots); compute_dtype controls storage only.
-            return easu_math.easu_resolve(
+            res = easu_math.easu_resolve(
                 taps, ppx, ppy, dtype=jnp.float32, dir_dtype=jnp.float32,
                 fast=True, quad_g=quad_g,
             )
+            if has_alpha:
+                ca = {k: sel_cols(alpha_t, st_k[k]) for k in (1, 2)}
+                atl = sel_rows(r_k[1], ca[1])
+                atr = sel_rows(r_k[1], ca[2])
+                abl = sel_rows(r_k[2], ca[1])
+                abr = sel_rows(r_k[2], ca[2])
+                top = atl + (atr - atl) * ppx
+                bot = abl + (abr - abl) * ppx
+                ares = top + (bot - top) * ppy
+                res = jnp.concatenate([res, ares[None]], axis=0)
+            return res
 
         if not apply_rcas:
             res = easu_tile()
@@ -961,11 +1036,14 @@ def easu_gather(
         def _():
             ep = e_prev[:, :, :]
             ec = e_cur[:, :, :]
+            # RCAS sharpens RGB only; alpha (channel 3) passes through.
+            ep3 = ep[:3]
+            ec3 = ec[:3]
             n = ep.shape[-1]
-            b = pltpu.roll(ep, 1, axis=1)       # b[j] = ep[j-1]
-            hh = pltpu.roll(ep, tj_e - 1, axis=1)  # h[j] = ep[j+1]
-            d = pltpu.roll(ep, 1, axis=2)       # d[i] = ep[i-1]
-            f = pltpu.roll(ep, n - 1, axis=2)   # f[i] = ep[i+1]
+            b = pltpu.roll(ep3, 1, axis=1)       # b[j] = ep3[j-1]
+            hh = pltpu.roll(ep3, tj_e - 1, axis=1)  # h[j] = ep3[j+1]
+            d = pltpu.roll(ep3, 1, axis=2)       # d[i] = ep3[i-1]
+            f = pltpu.roll(ep3, n - 1, axis=2)   # f[i] = ep3[i+1]
             lane = jax.lax.broadcasted_iota(jnp.int32, (1,) + ep.shape[1:], 2)
             # Left boundary column: E(tx-2)'s last column from the ring.
             lc = lastcol[:, :, :]
@@ -978,34 +1056,40 @@ def easu_gather(
             # ti-1).  On the drain step e_cur is stale, but that lane is
             # either past wout (ragged last tile; selectors already clamp)
             # or clamped to the center below.
-            f = jnp.where(lane == n - 1, pltpu.roll(ec, n - 1, axis=2), f)
+            f = jnp.where(lane == n - 1, pltpu.roll(ec3, n - 1, axis=2), f)
 
             gcol = (tx - 1) * ti + lane
-            d = jnp.where(gcol == 0, ep, d)
-            f = jnp.where(gcol == wout - 1, ep, f)
+            d = jnp.where(gcol == 0, ep3, d)
+            f = jnp.where(gcol == wout - 1, ep3, f)
             res = easu_math.rcas_resolve(
-                b, d, ep, f, hh, sharp, denoise=denoise, fast=True
+                b, d, ep3, f, hh, sharp, denoise=denoise, fast=True
             )[:, rhalo:rhalo + tj, :]
+            if has_alpha:
+                res = jnp.concatenate(
+                    [res, ep[3:, rhalo:rhalo + tj, :]], axis=0
+                )
             if epi is not None:
                 res = run_epilogue(res, ty, tx - 1)
             out_ref[0, :, :, :] = store_cast(res)
 
         # --- Ring updates (read-before-write order is preserved above).
-        lastcol[:, :, :] = pltpu.roll(e_prev[:, :, :], 1, axis=2)[:, :, :128]
+        lastcol[:, :, :] = pltpu.roll(
+            e_prev[:, :, :][:3], 1, axis=2
+        )[:, :, :128]
         e_prev[:, :, :] = e_cur[:, :, :]
 
     if apply_rcas:
         scratch_shapes = [
-            pltpu.VMEM((3, tih, tiw), jnp.uint8 if u8_in else dt),
-            pltpu.VMEM((3, tj_e, ti), jnp.float32),
-            pltpu.VMEM((3, tj_e, ti), jnp.float32),
+            pltpu.VMEM((nc, tih, tiw), jnp.uint8 if u8_in else dt),
+            pltpu.VMEM((nc, tj_e, ti), jnp.float32),
+            pltpu.VMEM((nc, tj_e, ti), jnp.float32),
             pltpu.VMEM((3, tj_e, 128), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ]
         out_index = lambda bi, ty, tx, *_: (bi, 0, ty, jnp.maximum(tx - 1, 0))
     else:
         scratch_shapes = [
-            pltpu.VMEM((3, tih, tiw), jnp.uint8 if u8_in else dt),
+            pltpu.VMEM((nc, tih, tiw), jnp.uint8 if u8_in else dt),
             pltpu.SemaphoreType.DMA(()),
         ]
         out_index = lambda bi, ty, tx, *_: (bi, 0, ty, tx)
@@ -1049,13 +1133,13 @@ def easu_gather(
         num_scalar_prefetch=3,
         grid=(nb, ny, nsteps),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, 3, tj, ti), out_index),
+        out_specs=pl.BlockSpec((1, nc, tj, ti), out_index),
         scratch_shapes=scratch_shapes,
     )
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nb, 3, hout, wout), out_dt),
+        out_shape=jax.ShapeDtypeStruct((nb, nc, hout, wout), out_dt),
         interpret=INTERPRET,
     )(rs_arr, jnp.asarray(col_starts), cbase_flat, *operands)
-    return out.reshape(batch_dims + (3, hout, wout))
+    return out.reshape(batch_dims + (nc, hout, wout))

@@ -108,8 +108,8 @@ def _phase_structure(con: EasuConstants, out_size: Tuple[int, int]):
 
 def supported(in_shape, out_size, con: EasuConstants, compute_dtype,
               out_dtype=None) -> bool:
-    if len(in_shape) < 3 or in_shape[-3] != 3:
-        return False  # alpha passthrough stays on the XLA path for now
+    if len(in_shape) < 3 or in_shape[-3] not in (3, 4):
+        return False  # RGB, or RGBA with in-kernel bilinear alpha
     if jnp.dtype(compute_dtype) not in (jnp.float32, jnp.bfloat16):
         # Mosaic has no fp16 vector type on this target; fp16 requests run
         # on the XLA path (which computes through f32 with f16 rounding).
@@ -401,6 +401,14 @@ def upscale_fused(
     batch_dims = image.shape[:-3]
     image = image.reshape((-1,) + image.shape[-3:])
     nb = image.shape[0]
+    nc = image.shape[1]
+    if nc not in (3, 4):
+        raise ValueError(f"image must have 3 or 4 channels, got {nc}")
+    # RGBA: the 4th channel rides the tile DMA and is bilinear-resolved
+    # in-kernel (EASU defines no alpha semantics; RCAS passes alpha
+    # through, ffx_fsr1.h:688-705) — one kernel dispatch, no separate
+    # XLA bilinear pass + concat.
+    has_alpha = nc == 4
 
     dt = jnp.dtype(compute_dtype)
     u8_in = image.dtype == jnp.uint8
@@ -656,16 +664,19 @@ def upscale_fused(
             # The tile is upcast to f32 once: every later tap shift and the
             # resolve run f32 (bf16-storage taps would otherwise pay a
             # down+up convert round trip per rolled tap plane).
-            t0 = tile[:, :, :]  # (3, tih, tiw) stacked
+            t0 = tile[:, :, :]  # (nc, tih, tiw) stacked
             if u8_in:
                 # D3D UNORM decode v/255 (Mosaic has no u8<->f32 cast;
                 # int32 is the supported intermediate).
-                tile3 = t0.astype(jnp.int32).astype(jnp.float32) * jnp.float32(
+                tfull = t0.astype(jnp.int32).astype(jnp.float32) * jnp.float32(
                     1.0 / 255.0
                 )
             else:
-                tile3 = t0.astype(jnp.float32)
+                tfull = t0.astype(jnp.float32)
+            alpha_t = tfull[3] if has_alpha else None
+            tile3 = tfull[:3]
             if prologue == "srtm":
+                # SRTM applies to RGB only; alpha is not a color channel.
                 m = jnp.maximum(jnp.maximum(tile3[0], tile3[1]), tile3[2])
                 tile3 = tile3 * approx.rcp_fast(m + jnp.float32(1.0))[None]
             lumt = tile3[2] * 0.5 + (tile3[0] * 0.5 + tile3[1])
@@ -712,7 +723,22 @@ def upscale_fused(
                         taps, ppx, ppy, dtype=jnp.float32, dir_dtype=jnp.float32,
                         fast=True, quad_g=quad_g,
                     )
-                    row.append(res)  # (3, tih, ti) f32, rows [0:tj+2] valid
+                    if has_alpha:
+                        # Bilinear alpha with the same con mapping — the op
+                        # order mirrors ops.easu.bilinear exactly, so f32
+                        # alpha is bit-equal to the XLA pass it replaces.
+                        sy0, sx0 = ry[a] - ry_min, (rx[b] - rx_min) + 1
+                        tl = shift2(alpha_t, sy0 + 1, sx0 + 1)[..., :ti]
+                        tr = shift2(alpha_t, sy0 + 1, sx0 + 2)[..., :ti]
+                        bl = shift2(alpha_t, sy0 + 2, sx0 + 1)[..., :ti]
+                        br = shift2(alpha_t, sy0 + 2, sx0 + 2)[..., :ti]
+                        pxs = jnp.float32(px_phase[b])
+                        pys = jnp.float32(py_phase[a])
+                        top = tl + (tr - tl) * pxs
+                        bot = bl + (br - bl) * pxs
+                        ares = top + (bot - top) * pys
+                        res = jnp.concatenate([res, ares[None]], axis=0)
+                    row.append(res)  # (nc, tih, ti) f32, rows [0:tj+2] valid
                 planes.append(row)
             return planes
 
@@ -806,8 +832,8 @@ def upscale_fused(
                     )
                 for a in range(qy):
                     for b in range(qx):
-                        res_ab[a][b] = epilogue_mod.apply(
-                            res_ab[a][b],
+                        body = epilogue_mod.apply(
+                            res_ab[a][b][:3],
                             row_off + jrow * qy + a,
                             (tx * ti + lane) * qx + b,
                             frame_ref[0] if frame_ref is not None else 0,
@@ -817,6 +843,13 @@ def upscale_fused(
                             dit=(dith_rolled[a * qx + b][:tj]
                                  if dith_rolled is not None else None),
                         )
+                        if has_alpha:
+                            # Epilogue post-ops are color-space transforms;
+                            # alpha rides along untouched.
+                            body = jnp.concatenate(
+                                [body, res_ab[a][b][3:]], axis=0
+                            )
+                        res_ab[a][b] = body
             if assemble == "xla":
                 for a in range(qy):
                     for b in range(qx):
@@ -840,7 +873,7 @@ def upscale_fused(
             # last lane: the right-seam fix below reads only this, so the
             # drain-step RCAS never needs the full current stack.
             for a in range(qy):
-                fcol[a] = pltpu.roll(planes[a][0][:, :, :rw], rw - 1, axis=2)
+                fcol[a] = pltpu.roll(planes[a][0][:3, :, :rw], rw - 1, axis=2)
 
         # --- RCAS for tile tP in phase-planar space: row neighbors are
         # row-shifted sibling phases (in-plane halo); column neighbors at the
@@ -869,14 +902,19 @@ def upscale_fused(
             for a in range(qy):
                 for b in range(qx):
                     e_t = rows(prev(a * qx + b), 1)
+                    # RCAS sharpens RGB only; alpha (channel 3) passes
+                    # through from the bilinear plane (ffx_fsr1.h:688-705).
+                    e3 = e_t[:3]
                     bt = (rows(prev((a - 1) * qx + b), 1) if a > 0
-                          else rows(prev((qy - 1) * qx + b), 0))
+                          else rows(prev((qy - 1) * qx + b), 0))[:3]
                     ht = (rows(prev((a + 1) * qx + b), 1) if a < qy - 1
-                          else rows(prev(b), 2))
+                          else rows(prev(b), 2))[:3]
                     if b > 0:
-                        dtp = rows(prev(a * qx + b - 1), 1)
+                        dtp = rows(prev(a * qx + b - 1), 1)[:3]
                     else:
-                        dtp = pltpu.roll(rows(prev(a * qx + qx - 1), 1), 1, axis=2)
+                        dtp = pltpu.roll(
+                            rows(prev(a * qx + qx - 1), 1)[:3], 1, axis=2
+                        )
                         lc = ring[a]
                         if ti > rw:
                             # Concat at full rows (equal sublane offsets),
@@ -889,9 +927,11 @@ def upscale_fused(
                         lc = lc[:, 1 : 1 + tj, :]
                         dtp = jnp.where(lane == 0, lc, dtp)
                     if b < qx - 1:
-                        ftp = rows(prev(a * qx + b + 1), 1)
+                        ftp = rows(prev(a * qx + b + 1), 1)[:3]
                     else:
-                        ftp = pltpu.roll(rows(prev(a * qx), 1), ti - 1, axis=2)
+                        ftp = pltpu.roll(
+                            rows(prev(a * qx), 1)[:3], ti - 1, axis=2
+                        )
                         # Right seam: tile tx's phase (a, 0) first column,
                         # from the fcol scratch (stale on the drain step —
                         # that lane is clamped or write-masked below).
@@ -909,12 +949,12 @@ def upscale_fused(
                     # sharpening stage runs f32 and rounds at the store.
                     grow = row_off + jrow * qy + a
                     gcol = icol * qx + b
-                    bt = jnp.where(grow == 0, e_t, bt)
-                    ht = jnp.where(grow == global_rows - 1, e_t, ht)
-                    dtp = jnp.where(gcol == 0, e_t, dtp)
-                    ftp = jnp.where(gcol == wout - 1, e_t, ftp)
+                    bt = jnp.where(grow == 0, e3, bt)
+                    ht = jnp.where(grow == global_rows - 1, e3, ht)
+                    dtp = jnp.where(gcol == 0, e3, dtp)
+                    ftp = jnp.where(gcol == wout - 1, e3, ftp)
                     res = easu_math.rcas_resolve(
-                        bt, dtp, e_t, ftp, ht, float(rcon.sharpness),
+                        bt, dtp, e3, ftp, ht, float(rcon.sharpness),
                         denoise=denoise, fast=True
                     )
                     if epi is not None:
@@ -927,6 +967,8 @@ def upscale_fused(
                             dit=(dith_rolled[a * qx + b][:tj]
                                  if dith_rolled is not None else None),
                         )
+                    if has_alpha:
+                        res = jnp.concatenate([res, e_t[3:]], axis=0)
                     res_ab[a][b] = res
                     if assemble == "xla":
                         out_refs[a * qx + b][0, :, :, :] = res.astype(dt)
@@ -938,7 +980,9 @@ def upscale_fused(
             # right edge at a row transition), so a stale ring is never
             # read.
             for a in range(qy):
-                ring[a] = pltpu.roll(prev(a * qx + qx - 1), 1, axis=2)[:, :, :rw]
+                ring[a] = pltpu.roll(
+                    prev(a * qx + qx - 1)[:3], 1, axis=2
+                )[:, :, :rw]
 
     in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)]
     operands = [src]
@@ -968,13 +1012,13 @@ def upscale_fused(
         operands.append(dith_arr)
     operands = tuple(operands)
 
-    scratch_shapes = [pltpu.VMEM((3, tih, tiw), jnp.uint8 if u8_in else dt)]
+    scratch_shapes = [pltpu.VMEM((nc, tih, tiw), jnp.uint8 if u8_in else dt)]
     if pipelined:
         # The plane buffer holds EASU output awaiting its RCAS pass.  It
         # stays f32: a bf16 buffer measured only ~0.5% faster and costs 27%
         # median fidelity (RCAS input rounding).
         scratch_shapes += [
-            pltpu.VMEM((2, n_phases, 3, tih, ti), jnp.float32),
+            pltpu.VMEM((2, n_phases, nc, tih, ti), jnp.float32),
             pltpu.VMEM((qy, 3, tih, rw), jnp.float32),  # ring (left seams)
             pltpu.VMEM((qy, 3, tih, rw), jnp.float32),  # fcol (right seams)
         ]
@@ -989,7 +1033,7 @@ def upscale_fused(
 
     if assemble == "xla":
         phase_spec = pl.BlockSpec(
-            (1, 3, tj, ti), out_idx, memory_space=pltpu.VMEM,
+            (1, nc, tj, ti), out_idx, memory_space=pltpu.VMEM,
         )
         outs = pl.pallas_call(
             kernel,
@@ -997,25 +1041,25 @@ def upscale_fused(
             in_specs=in_specs,
             out_specs=tuple(phase_spec for _ in range(qy * qx)),
             out_shape=tuple(
-                jax.ShapeDtypeStruct((nb, 3, hpl, wpl), dt) for _ in range(qy * qx)
+                jax.ShapeDtypeStruct((nb, nc, hpl, wpl), dt) for _ in range(qy * qx)
             ),
             scratch_shapes=scratch_shapes,
             interpret=INTERPRET,
         )(*operands)
         # Interleave phases in one fused transpose+reshape pass.
-        stackd = jnp.stack(outs).reshape(qy, qx, nb, 3, hpl, wpl)
-        out = stackd.transpose(2, 3, 4, 0, 5, 1).reshape(nb, 3, hout, wout)
-        return out.reshape(batch_dims + (3, hout, wout))
+        stackd = jnp.stack(outs).reshape(qy, qx, nb, nc, hpl, wpl)
+        out = stackd.transpose(2, 3, 4, 0, 5, 1).reshape(nb, nc, hout, wout)
+        return out.reshape(batch_dims + (nc, hout, wout))
 
     out = pl.pallas_call(
         kernel,
         grid=(nb, 1, nsteps) if pipelined else (nb, ny, nsteps),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
-            (1, 3, qy * tj, qx * ti), out_idx, memory_space=pltpu.VMEM,
+            (1, nc, qy * tj, qx * ti), out_idx, memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((nb, 3, hout, wout), out_dt),
+        out_shape=jax.ShapeDtypeStruct((nb, nc, hout, wout), out_dt),
         scratch_shapes=scratch_shapes,
         interpret=INTERPRET,
     )(*operands)
-    return out.reshape(batch_dims + (3, hout, wout))
+    return out.reshape(batch_dims + (nc, hout, wout))

@@ -303,7 +303,8 @@ def upscale_spatial_sharded(
         and wout >= 128
     )
     meta, plan = easu_gather_mod.build_shard_plans(
-        (hin, win), (hout, wout), con, n, halo=_GHALO, apply_rcas=apply_rcas
+        (hin, win), (hout, wout), con, n, halo=_GHALO, apply_rcas=apply_rcas,
+        compute_dtype=dt,
     )
     row_meta = (meta["tih"],)
     pad_bottom = meta["pad_bottom"]

@@ -149,3 +149,39 @@ def test_gather_supported_gating():
     # downscale is out of the EASU contract
     con_dn = _con((1080, 1920), (720, 1280))
     assert not easu_gather.supported((3, 1080, 1920), (720, 1280), con_dn, jnp.float32)
+
+
+@pytest.mark.parametrize(
+    "in_hw,out_hw",
+    [
+        ((72, 192), (108, 288)),   # 1.5x: hybrid X-phase mode
+        ((64, 160), (108, 272)),   # ~1.7x: col-gather mode
+    ],
+)
+def test_easu_gather_rgba_alpha(rng, in_hw, out_hw):
+    """RGBA through the gather kernel: RGB identical to the 3-channel
+    result, alpha bilinear (never sharpened), one dispatch."""
+    img = rng.uniform(0, 1, (4, *in_hw)).astype(np.float32)
+    con, rcon = _con(in_hw, out_hw), RcasConstants(0.25)
+    out = np.asarray(easu_gather.easu_gather(
+        jnp.asarray(img), out_hw, con, rcon, apply_rcas=True
+    ))
+    assert out.shape == (4, *out_hw)
+    want_rgb = np.asarray(easu_gather.easu_gather(
+        jnp.asarray(img[:3]), out_hw, con, rcon, apply_rcas=True
+    ))
+    np.testing.assert_array_equal(out[:3], want_rgb)
+    want_a = np.asarray(easu_ops.bilinear(jnp.asarray(img[3:4]), out_hw, con))
+    np.testing.assert_allclose(out[3:4], want_a, atol=1e-6, rtol=0)
+
+
+def test_easu_gather_rgba_alpha_easu_only(rng):
+    in_hw, out_hw = (84, 168), (108, 216)  # ~1.3x, St-matmul path too
+    img = rng.uniform(0, 1, (4, *in_hw)).astype(np.float32)
+    con = _con(in_hw, out_hw)
+    out = np.asarray(easu_gather.easu_gather(
+        jnp.asarray(img), out_hw, con, apply_rcas=False
+    ))
+    assert out.shape == (4, *out_hw)
+    want_a = np.asarray(easu_ops.bilinear(jnp.asarray(img[3:4]), out_hw, con))
+    np.testing.assert_allclose(out[3:4], want_a, atol=1e-6, rtol=0)

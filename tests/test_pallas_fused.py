@@ -132,7 +132,9 @@ def test_supported_gating():
     assert fused.supported((3, 540, 960), (1080, 1920), con, jnp.bfloat16)
     # fp16 has no Mosaic vector type on current targets -> XLA path.
     assert not fused.supported((3, 540, 960), (1080, 1920), con, jnp.float16)
-    assert not fused.supported((4, 540, 960), (1080, 1920), con, jnp.float32)
+    # RGBA rides the kernel natively (in-kernel bilinear alpha).
+    assert fused.supported((4, 540, 960), (1080, 1920), con, jnp.float32)
+    assert not fused.supported((2, 540, 960), (1080, 1920), con, jnp.float32)
 
 
 def test_riffle_correctness():
@@ -170,3 +172,54 @@ def test_riffle_correctness():
     want0[0::2] = np.asarray(a)
     want0[1::2] = np.asarray(b)
     np.testing.assert_array_equal(r0, want0)
+
+
+def test_fused_rgba_alpha(rng):
+    """RGBA through the kernel: one dispatch, RGB identical to the
+    3-channel kernel result, alpha bit-equal to ops.easu.bilinear (same
+    f32 op order), never sharpened (ffx_fsr1.h:688-705 passthrough)."""
+    in_hw, out_hw = (40, 144), (80, 288)
+    img = rng.uniform(0, 1, (4, *in_hw)).astype(np.float32)
+    con, rcon = _con(in_hw, out_hw), RcasConstants(0.25)
+    out = np.asarray(
+        fused.upscale_fused(jnp.asarray(img), out_hw, con, rcon)
+    )
+    assert out.shape == (4, *out_hw)
+    want_rgb = np.asarray(
+        fused.upscale_fused(jnp.asarray(img[:3]), out_hw, con, rcon)
+    )
+    np.testing.assert_array_equal(out[:3], want_rgb)
+    want_a = np.asarray(easu_ops.bilinear(jnp.asarray(img[3:4]), out_hw, con))
+    np.testing.assert_allclose(out[3:4], want_a, atol=1e-7, rtol=0)
+
+
+def test_fused_rgba_alpha_epilogue(rng):
+    """Epilogue post-ops (gamma2 here) touch RGB only; alpha rides along."""
+    from fsr_tpu.kernels.epilogue import Epilogue
+
+    in_hw, out_hw = (40, 144), (80, 288)
+    img = rng.uniform(0, 1, (4, *in_hw)).astype(np.float32)
+    con, rcon = _con(in_hw, out_hw), RcasConstants(0.25)
+    out = np.asarray(fused.upscale_fused(
+        jnp.asarray(img), out_hw, con, rcon,
+        epilogue=Epilogue(transform="gamma2"),
+    ))
+    base = np.asarray(
+        fused.upscale_fused(jnp.asarray(img), out_hw, con, rcon)
+    )
+    np.testing.assert_allclose(out[:3], base[:3] ** 2, atol=2e-6, rtol=0)
+    np.testing.assert_array_equal(out[3], base[3])
+
+
+def test_fused_rgba_alpha_bf16_easu_only(rng):
+    in_hw, out_hw = (40, 128), (80, 256)
+    img = rng.uniform(0, 1, (4, *in_hw)).astype(np.float32)
+    con = _con(in_hw, out_hw)
+    out = np.asarray(fused.upscale_fused(
+        jnp.asarray(img, dtype=jnp.bfloat16), out_hw, con, None,
+        apply_rcas=False, compute_dtype=jnp.bfloat16,
+    ).astype(jnp.float32))
+    assert out.shape == (4, *out_hw)
+    want_a = np.asarray(easu_ops.bilinear(jnp.asarray(img[3:4]), out_hw, con))
+    # bf16 storage: alpha is the f32 bilinear rounded to bf16.
+    np.testing.assert_allclose(out[3:4], want_a, atol=4e-3, rtol=0)
