@@ -62,16 +62,25 @@ _SLOW = {
     "test_parallel.py::test_spatial_sharded_batched",
     "test_parallel.py::test_spatial_plus_batch_mesh",
     "test_parallel.py::test_spatial_sharded_matches_single[2]",
-    # General-ratio sharding: the 1.5x-hybrid kernel case stays fast;
-    # the col-gather variant + texture dither run in the full suite.
-    "test_parallel.py::test_spatial_sharded_general_kernel_interpret[in_hw1-out_hw1]",
+    # General-ratio sharding: the col-gather kernel case stays fast
+    # (the production 1.3x/1.7x route); the 1.5x-hybrid variant + texture
+    # dither + 2 of 3 XLA ratios run in the full suite.
+    "test_parallel.py::test_spatial_sharded_general_kernel_interpret[in_hw0-out_hw0]",
     "test_parallel.py::test_spatial_sharded_texture_dither_kernel_interpret",
     "test_parallel.py::test_spatial_sharded_general_easu_only",
+    "test_parallel.py::test_spatial_sharded_general_xla[in_hw1-out_hw1-2]",
+    "test_parallel.py::test_spatial_sharded_general_xla[in_hw2-out_hw2-3]",
+    "test_parallel.py::test_spatial_sharded_matches_single[4]",
     # RGBA kernels: one fused + one gather case stay fast.
     "test_pallas_fused.py::test_fused_rgba_alpha_epilogue",
     "test_pallas_fused.py::test_fused_rgba_alpha_bf16_easu_only",
+    "test_kernels_general.py::test_easu_gather_rgba_alpha[in_hw0-out_hw0]",
     "test_kernels_general.py::test_easu_gather_rgba_alpha[in_hw1-out_hw1]",
-    "test_kernels_general.py::test_easu_gather_rgba_alpha_easu_only",
+    "test_epilogue.py::test_fused_2x_epilogue[epi2]",
+    "test_fuzz_sizes.py::test_fuzz_uint8_roundtrip[in_hw6-out_hw6]",
+    "test_kernels_general.py::test_easu_gather_fused_rcas[in_hw4-out_hw4]",
+    "test_fuzz_sizes.py::test_fuzz_dispatchable_kernels_match_xla[in_hw1-out_hw1]",
+    "test_fuzz_sizes.py::test_fuzz_dispatchable_kernels_match_xla[in_hw8-out_hw8]",
     "test_kernels_general.py::test_easu_gather_matches_xla[in_hw0-out_hw0]",
     "test_kernels_general.py::test_easu_gather_matches_xla[in_hw4-out_hw4]",
     "test_kernels_general.py::test_easu_gather_drs_offset",

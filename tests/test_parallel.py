@@ -178,7 +178,7 @@ def test_spatial_sharded_epilogue_kernel_interpret(rng, monkeypatch):
     monkeypatch.setattr(spatial, "_kernel_path", lambda mesh: True)
     n_sp = 4
     mesh = sharding.make_mesh(n_sp, ("sp",))
-    in_hw, out_hw = (96, 256), (144, 384)
+    in_hw, out_hw = (48, 256), (72, 384)
     img = jnp.asarray(rng.uniform(0, 1, (3, *in_hw)).astype(np.float32))
     grain = jnp.asarray(
         rng.uniform(-0.5, 0.5, (3, *out_hw)).astype(np.float32)
@@ -230,8 +230,8 @@ def test_spatial_sharded_epilogue_xla(rng):
     from fsr_tpu.kernels.epilogue import Epilogue
     from fsr_tpu import api
 
-    mesh = sharding.make_mesh(4, ("sp",))
-    in_hw, out_hw = (96, 144), (144, 216)
+    mesh = sharding.make_mesh(2, ("sp",))
+    in_hw, out_hw = (48, 96), (72, 144)
     img = jnp.asarray(rng.uniform(0, 1, (3, *in_hw)).astype(np.float32))
     grain = jnp.asarray(
         rng.uniform(-0.5, 0.5, (3, *out_hw)).astype(np.float32)
