@@ -104,20 +104,29 @@ def easu(
 
 
 @functools.partial(jax.jit, static_argnames=("out_size", "con"))
-def bilinear(src: jnp.ndarray, out_size: Tuple[int, int], con: EasuConstants) -> jnp.ndarray:
+def bilinear(src: jnp.ndarray, out_size: Tuple[int, int], con: EasuConstants,
+             rows=None) -> jnp.ndarray:
     """Bilinear fallback using the same coordinate mapping.
 
     Mirrors the sample's SAMPLE_BILINEAR mode (sample/src/DX12/FSR_Pass.hlsl:70-73),
     which lerps with the con0-derived position.
+    rows: optional (row_idx, py_rows) vertical override — same contract as
+    `easu(rows=...)`, for spatially sharded execution.
     """
     hin, win = src.shape[-2:]
     col, row, px, py = easu_coords(con, out_size)
     c0 = jnp.asarray(np.clip(col, 0, win - 1))
     c1 = jnp.asarray(np.clip(col + 1, 0, win - 1))
-    r0 = jnp.asarray(np.clip(row, 0, hin - 1))
-    r1 = jnp.asarray(np.clip(row + 1, 0, hin - 1))
+    if rows is None:
+        r0 = jnp.asarray(np.clip(row, 0, hin - 1))
+        r1 = jnp.asarray(np.clip(row + 1, 0, hin - 1))
+        pyb = jnp.asarray(py)[:, None]
+    else:
+        row_base, py_rows = rows
+        r0 = jnp.clip(row_base.astype(jnp.int32), 0, hin - 1)
+        r1 = jnp.clip(row_base.astype(jnp.int32) + 1, 0, hin - 1)
+        pyb = py_rows.astype(jnp.float32)[:, None]
     pxb = jnp.asarray(px)[None, :]
-    pyb = jnp.asarray(py)[:, None]
     tl = src[..., r0[:, None], c0[None, :]]
     tr = src[..., r0[:, None], c1[None, :]]
     bl = src[..., r1[:, None], c0[None, :]]

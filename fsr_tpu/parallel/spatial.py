@@ -163,11 +163,13 @@ def upscale_spatial_sharded(
     dither_page=None,
     prologue: str = "none",
 ) -> jnp.ndarray:
-    """Upscale (..., 3, H, W) with H row-sharded across `mesh[axis]`.
+    """Upscale (..., 3|4, H, W) with H row-sharded across `mesh[axis]`.
 
-    Any upscale ratio (1x..4x area, like FsrEasuF).  batch_axis: optionally
-    also shard the leading batch dimension across a second mesh axis
-    (dp x sp execution in one shard_map).
+    Any upscale ratio (1x..4x area, like FsrEasuF).  RGBA follows the same
+    contract as api.upscale: alpha is bilinear, never sharpened, resolved
+    in-kernel on the kernel paths.  batch_axis: optionally also shard the
+    leading batch dimension across a second mesh axis (dp x sp execution
+    in one shard_map).
 
     epilogue / frame / grain / dither_page / prologue: the same fused
     pre/post-ops as `api.upscale` — the TEPD hash, dither page, and grain
@@ -191,6 +193,12 @@ def upscale_spatial_sharded(
         )
     if prologue not in ("none", "srtm"):
         raise ValueError(f"unknown prologue {prologue!r}")
+    nch = image.shape[-3]
+    if nch not in (3, 4):
+        raise ValueError(f"image must have 3 or 4 channels, got {nch}")
+    # RGBA: the kernels resolve alpha in-kernel; the XLA fallback splits
+    # it into a bilinear pass per shard (same semantics as api.upscale).
+    has_alpha = nch == 4
     con = EasuConstants.create((win, hin), None, (wout, hout))
     rcon = RcasConstants(sharpness)
     hl_out = hout // n
@@ -278,17 +286,27 @@ def upscale_spatial_sharded(
                 )
                 return out[..., 1:-1, :]
 
+            a_l = None
+            rgb_pad = padded
+            if has_alpha:
+                a_l = easu_ops.bilinear(
+                    padded[..., 3:4, :, :], (hl_out + 2, wout), con_loc
+                )[..., 1:-1, :]
+                rgb_pad = padded[..., :3, :, :]
             if prologue == "srtm":
-                padded = extras.srtm(padded)
+                rgb_pad = extras.srtm(rgb_pad)
             # EASU over local rows [-1, hl_out+1) (one row of RCAS halo).
             easu_out = easu_ops.easu(
-                padded, (hl_out + 2, wout), con_loc, compute_dtype=dt
+                rgb_pad, (hl_out + 2, wout), con_loc, compute_dtype=dt
             )
             if not apply_rcas:
                 out = easu_out[..., 1:-1, :]
             else:
                 out = _rcas_tail(easu_out, idx, hl_out, hout, rcon, dt, denoise)
-            return xla_epilogue(out, idx, fr, g_l, pg)
+            out = xla_epilogue(out, idx, fr, g_l, pg)
+            if a_l is not None:
+                out = jnp.concatenate([out, a_l.astype(out.dtype)], axis=-3)
+            return out
 
         return shard_map(
             local_fn, mesh=mesh, in_specs=(spec, *extra_specs),
@@ -328,17 +346,28 @@ def upscale_spatial_sharded(
                 )
             except easu_gather_mod.DitherTileError:
                 pass  # narrow output: dither page can't tile; XLA below
+        a_l = None
+        rgb_pad = padded
+        if has_alpha:
+            a_l = easu_ops.bilinear(
+                padded[..., 3:4, :, :], (hl_out, wout), con,
+                rows=(rloc[0][1:-1], pyl[0][1:-1]),
+            )
+            rgb_pad = padded[..., :3, :, :]
         if prologue == "srtm":
-            padded = extras.srtm(padded)
+            rgb_pad = extras.srtm(rgb_pad)
         easu_out = easu_ops.easu(
-            padded, (hl_out + 2, wout), con, compute_dtype=dt,
+            rgb_pad, (hl_out + 2, wout), con, compute_dtype=dt,
             rows=(rloc[0], pyl[0]),
         )
         if not apply_rcas:
             out = easu_out[..., 1:-1, :]
         else:
             out = _rcas_tail(easu_out, idx, hl_out, hout, rcon, dt, denoise)
-        return xla_epilogue(out, idx, fr, g_l, pg)
+        out = xla_epilogue(out, idx, fr, g_l, pg)
+        if a_l is not None:
+            out = jnp.concatenate([out, a_l.astype(out.dtype)], axis=-3)
+        return out
 
     pspec = P(axis)
     in_specs = (spec,) + (pspec,) * 5 + tuple(extra_specs)

@@ -276,3 +276,34 @@ def test_spatial_sharded_kernel_path_interpret(rng, monkeypatch):
     out = spatial.upscale_spatial_sharded(jnp.asarray(img), out_hw, mesh, axis="sp")
     want = _reference(img, out_hw)
     np.testing.assert_allclose(np.asarray(out), want, atol=5e-4)
+
+
+def test_spatial_sharded_rgba(rng, monkeypatch):
+    """RGBA under row sharding: kernel path (interpret) matches the
+    unsharded gather kernel bit-for-bit; alpha is bilinear."""
+    from fsr_tpu.kernels import easu_gather as eg
+
+    monkeypatch.setattr(eg, "INTERPRET", True)
+    monkeypatch.setattr(spatial, "_kernel_path", lambda mesh: True)
+    mesh = sharding.make_mesh(4, ("sp",))
+    in_hw, out_hw = (80, 272), (136, 462)  # 1.7x col-gather mode
+    img = jnp.asarray(rng.uniform(0, 1, (4, *in_hw)).astype(np.float32))
+    out = spatial.upscale_spatial_sharded(img, out_hw, mesh, axis="sp")
+    con = EasuConstants.create(
+        (in_hw[1], in_hw[0]), None, (out_hw[1], out_hw[0])
+    )
+    want = eg.easu_gather(
+        img, out_hw, con, RcasConstants(0.25), apply_rcas=True
+    )
+    assert np.array_equal(np.asarray(out), np.asarray(want))
+
+
+def test_spatial_sharded_rgba_xla(rng):
+    from fsr_tpu import api
+
+    mesh = sharding.make_mesh(4, ("sp",))
+    in_hw, out_hw = (96, 144), (144, 216)
+    img = jnp.asarray(rng.uniform(0, 1, (4, *in_hw)).astype(np.float32))
+    out = spatial.upscale_spatial_sharded(img, out_hw, mesh, axis="sp")
+    want = api.upscale(img, out_size=out_hw, impl="xla")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=1e-6)
