@@ -64,6 +64,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--results", default=None, help="benchmark CSV output path")
     p.add_argument("--compare", default=None,
                    help="also write a side-by-side bilinear|fsr comparison image")
+    p.add_argument("--magnify", type=int, nargs=3, default=None,
+                   metavar=("CY", "CX", "ZOOM"),
+                   help="zoom the --compare strip to a nearest-neighbor "
+                        "magnified crop at output coords (CY, CX) — the "
+                        "sample's MagnifierPS pixel-inspection flow")
     return p
 
 
@@ -181,7 +186,12 @@ def main(argv=None) -> int:
     if args.compare:
         con = EasuConstants.create((win, hin), None, (out_hw[1], out_hw[0]))
         bil = np.asarray(easu_ops.bilinear(x, out_hw, con))
-        im.save_image(args.compare, im.side_by_side(bil, out))
+        a, b = bil, out
+        if args.magnify:
+            cy, cx, zoom = args.magnify
+            a = im.magnify(a, (cy, cx), zoom=zoom)
+            b = im.magnify(b, (cy, cx), zoom=zoom)
+        im.save_image(args.compare, im.side_by_side(a, b))
     return 0
 
 

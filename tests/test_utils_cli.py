@@ -73,6 +73,14 @@ def test_cli_end_to_end(tmp_path, rng):
     lines = open(csv).read().strip().splitlines()
     assert lines[0] == "frame,ms" and len(lines) == 3
 
+    # Magnified A/B: the strip is two zoomed 32x32 crops + separator.
+    mag_p = str(tmp_path / "mag.png")
+    rc = cli.main([inp, mag_p, "--scale", "2.0", "--impl", "xla",
+                   "--compare", mag_p, "--magnify", "32", "48", "4"])
+    assert rc == 0
+    mag = im.load_image(mag_p)
+    assert mag.shape == (3, 128, 2 * 128 + 4)
+
 
 def test_cli_pipeline_flags(tmp_path, rng):
     from fsr_tpu import cli
