@@ -185,3 +185,33 @@ def test_easu_gather_rgba_alpha_easu_only(rng):
     assert out.shape == (4, *out_hw)
     want_a = np.asarray(easu_ops.bilinear(jnp.asarray(img[3:4]), out_hw, con))
     np.testing.assert_allclose(out[3:4], want_a, atol=1e-6, rtol=0)
+
+
+def test_easu_gather_wide_tile_plan_bf16(rng, monkeypatch):
+    """The bf16 wide-tile plans ((136, 640) / (120, 768), production
+    geometry for the 1.3x-1.7x presets at 4K) are pure scheduling: output
+    must be bit-equal to the legacy (120, 384) plan."""
+    import jax
+
+    in_hw, out_hw = (80, 424), (136, 720)  # 1.7x -> ti=640 wide plan
+    img = jnp.asarray(
+        rng.uniform(0, 1, (3, *in_hw)).astype(np.float32), dtype=jnp.bfloat16
+    )
+    con, rcon = _con(in_hw, out_hw), RcasConstants(0.25)
+    assert easu_gather._pick_tiles(
+        out_hw[0], out_hw[1], apply_rcas=True, scale=1.7
+    ) == (136, 640)
+    got = np.asarray(easu_gather.easu_gather(
+        img, out_hw, con, rcon, apply_rcas=True, compute_dtype=jnp.bfloat16
+    ).astype(jnp.float32))
+
+    orig = easu_gather._pick_tiles
+    monkeypatch.setattr(
+        easu_gather, "_pick_tiles",
+        lambda h, w, **k: orig(h, w, **{**k, "scale": None}),
+    )
+    jax.clear_caches()  # the jit cache keys on static args, not the plan
+    want = np.asarray(easu_gather.easu_gather(
+        img, out_hw, con, rcon, apply_rcas=True, compute_dtype=jnp.bfloat16
+    ).astype(jnp.float32))
+    np.testing.assert_array_equal(got, want)

@@ -91,15 +91,17 @@ def main() -> int:
             jnp.asarray(img_p), (oh, ow), con_p, rcon=rcon, apply_rcas=True
         )
         check(f"{label} f32", got_p, want_p, 4e-5)
-    # bf16 storage + denoise on the fused path
-    got_b = easu_gather.easu_gather(
-        jnp.asarray(img_p), (oh, ow), con_p, rcon=rcon, apply_rcas=True,
-        compute_dtype=jnp.bfloat16,
-    ).astype(jnp.float32)
-    d = np.abs(np.asarray(got_b) - want_p)
-    print(f"  INFO fused-gather bf16: median={np.median(d):.3g} p99={np.percentile(d, 99):.3g}")
-    if np.median(d) > BUDGET:
-        failures.append("fused-gather bf16 median")
+        # bf16 storage: exercises the production wide-tile plans
+        # ((120, 768) below 1.6x, (136, 640) above — bf16-only geometry).
+        got_b = easu_gather.easu_gather(
+            jnp.asarray(img_p), (oh, ow), con_p, rcon=rcon, apply_rcas=True,
+            compute_dtype=jnp.bfloat16,
+        ).astype(jnp.float32)
+        d = np.abs(np.asarray(got_b) - want_p)
+        print(f"  INFO {label} bf16: median={np.median(d):.3g} "
+              f"p99={np.percentile(d, 99):.3g}")
+        if np.median(d) > BUDGET:
+            failures.append(f"{label} bf16 median")
     got_d = easu_gather.easu_gather(
         jnp.asarray(img_p), (oh, ow), con_p, rcon=rcon, apply_rcas=True, denoise=True
     )
