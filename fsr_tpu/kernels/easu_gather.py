@@ -171,7 +171,7 @@ def _axis_plan(f: np.ndarray, n_out: int, tile: int, pad_lead: int, align: int,
 
 def build_shard_plans(in_size, out_size, con: EasuConstants, n: int,
                       halo: int = 8, apply_rcas: bool = True,
-                      compute_dtype=jnp.float32):
+                      compute_dtype=jnp.float32, out_dtype=None):
     """Host-side per-shard row plans for row-sharded general-ratio upscaling.
 
     The gather kernel's row plan (window starts, one-hot row selectors, row
@@ -205,8 +205,10 @@ def build_shard_plans(in_size, out_size, con: EasuConstants, n: int,
     if hin_l < halo:
         raise ValueError(f"shard strips of {hin_l} rows cannot host a {halo}-row halo")
     fx, fy, px, py = easu_coords(con, out_size)
+    o8 = out_dtype is not None and jnp.dtype(out_dtype) == jnp.uint8
+    o16 = out_dtype is not None and jnp.dtype(out_dtype) == jnp.uint16
     tj, _ = _pick_tiles(
-        hl, wout, apply_rcas=apply_rcas,
+        hl, wout, apply_rcas=apply_rcas, out8=o8, out16=o16,
         scale=(1.0 / float(con.scale[1])
                if jnp.dtype(compute_dtype) == jnp.bfloat16 else None),
     )

@@ -144,7 +144,7 @@ def _rcas_tail(easu_out, idx, hl_out, hout, rcon, dt, denoise):
     jax.jit,
     static_argnames=(
         "out_size", "mesh", "axis", "batch_axis", "sharpness", "apply_rcas",
-        "denoise", "compute_dtype", "epilogue", "prologue",
+        "denoise", "compute_dtype", "epilogue", "prologue", "out_dtype",
     ),
 )
 def upscale_spatial_sharded(
@@ -162,6 +162,7 @@ def upscale_spatial_sharded(
     grain=None,
     dither_page=None,
     prologue: str = "none",
+    out_dtype=None,
 ) -> jnp.ndarray:
     """Upscale (..., 3|4, H, W) with H row-sharded across `mesh[axis]`.
 
@@ -170,6 +171,11 @@ def upscale_spatial_sharded(
     in-kernel on the kernel paths.  batch_axis: optionally also shard the
     leading batch dimension across a second mesh axis (dp x sp execution
     in one shard_map).
+
+    u8 input / out_dtype: the same byte-I/O contract as `api.upscale` —
+    uint8 strips stay bytes through the halo exchange and decode
+    in-kernel; uint8/uint16 outputs encode UNORM codes at the kernel
+    store (XLA fallback: decode/encode around the float math).
 
     epilogue / frame / grain / dither_page / prologue: the same fused
     pre/post-ops as `api.upscale` — the TEPD hash, dither page, and grain
@@ -199,6 +205,18 @@ def upscale_spatial_sharded(
     # RGBA: the kernels resolve alpha in-kernel; the XLA fallback splits
     # it into a bilinear pass per shard (same semantics as api.upscale).
     has_alpha = nch == 4
+    # Byte I/O (same contract as api.upscale): uint8 sources stay bytes
+    # through the halo exchange and decode v/255 in-kernel; uint8/uint16
+    # outputs encode UNORM codes at the store (or as an XLA after-step on
+    # the fallback path).
+    u8_in = image.dtype == jnp.uint8
+    out_dt = jnp.dtype(out_dtype) if out_dtype is not None else None
+    u8_out = out_dt == jnp.uint8
+    u16_out = out_dt == jnp.uint16
+    if out_dt is not None and not (u8_out or u16_out or out_dt == jnp.dtype(compute_dtype)):
+        raise ValueError(
+            "out_dtype must be uint8/uint16 or match compute_dtype"
+        )
     con = EasuConstants.create((win, hin), None, (wout, hout))
     rcon = RcasConstants(sharpness)
     hl_out = hout // n
@@ -253,6 +271,22 @@ def upscale_spatial_sharded(
             out, epi, fr, g_l, dither_page=pg, origin=(idx * hl_out, 0)
         )
 
+    def decode_in(x):
+        return (
+            x.astype(jnp.float32) * jnp.float32(1.0 / 255.0) if u8_in else x
+        )
+
+    def encode_out(x):
+        from fsr_tpu.kernels import epilogue as epilogue_mod
+
+        if u8_out:
+            return epilogue_mod.encode_unorm8(x)
+        if u16_out:
+            return epilogue_mod.encode_unorm10(x)
+        if out_dt is not None:
+            return x.astype(out_dt)
+        return x
+
     if _exact_phase((hin, win), (hout, wout), n):
         sy = float(con.scale[1])
         con_loc = _local_constants(con, sy, _HALO)
@@ -276,16 +310,19 @@ def upscale_spatial_sharded(
             if (
                 kern_epi_ok
                 and _kernel_path(mesh)
-                and fused.supported(padded.shape, (hl_out + 2, wout), con_loc, dt)
+                and fused.supported(padded.shape, (hl_out + 2, wout), con_loc,
+                                    dt, out_dtype=out_dtype)
             ):
                 out = fused.upscale_fused(
                     padded, (hl_out + 2, wout), con_loc, rcon,
                     apply_rcas=apply_rcas, denoise=denoise, compute_dtype=dt,
                     row_offset=idx * hl_out - 1, global_rows=hout,
                     epilogue=epi, frame=fr, prologue=prologue,
+                    out_dtype=out_dtype,
                 )
                 return out[..., 1:-1, :]
 
+            padded = decode_in(padded)
             a_l = None
             rgb_pad = padded
             if has_alpha:
@@ -306,7 +343,7 @@ def upscale_spatial_sharded(
             out = xla_epilogue(out, idx, fr, g_l, pg)
             if a_l is not None:
                 out = jnp.concatenate([out, a_l.astype(out.dtype)], axis=-3)
-            return out
+            return encode_out(out)
 
         return shard_map(
             local_fn, mesh=mesh, in_specs=(spec, *extra_specs),
@@ -322,8 +359,12 @@ def upscale_spatial_sharded(
     )
     meta, plan = easu_gather_mod.build_shard_plans(
         (hin, win), (hout, wout), con, n, halo=_GHALO, apply_rcas=apply_rcas,
-        compute_dtype=dt,
+        compute_dtype=dt, out_dtype=out_dtype,
     )
+    if u8_out or u16_out:
+        # Integer output blocks need a 32/16-row sublane granule.
+        gran = 32 if u8_out else 16
+        kp = kp and (meta["tj"] % gran == 0 or meta["tj"] == hl_out)
     row_meta = (meta["tih"],)
     pad_bottom = meta["pad_bottom"]
 
@@ -343,9 +384,11 @@ def upscale_spatial_sharded(
                     row_plan=(rs[0], r_sel[0], ppy[0]), row_meta=row_meta,
                     epilogue=epi, frame=fr, grain=g_l, dither_page=pg,
                     prologue=prologue, row_offset=idx * hl_out,
+                    out_dtype=out_dtype,
                 )
             except easu_gather_mod.DitherTileError:
                 pass  # narrow output: dither page can't tile; XLA below
+        padded = decode_in(padded)
         a_l = None
         rgb_pad = padded
         if has_alpha:
@@ -367,7 +410,7 @@ def upscale_spatial_sharded(
         out = xla_epilogue(out, idx, fr, g_l, pg)
         if a_l is not None:
             out = jnp.concatenate([out, a_l.astype(out.dtype)], axis=-3)
-        return out
+        return encode_out(out)
 
     pspec = P(axis)
     in_specs = (spec,) + (pspec,) * 5 + tuple(extra_specs)

@@ -307,3 +307,46 @@ def test_spatial_sharded_rgba_xla(rng):
     out = spatial.upscale_spatial_sharded(img, out_hw, mesh, axis="sp")
     want = api.upscale(img, out_size=out_hw, impl="xla")
     np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=1e-6)
+
+
+def test_spatial_sharded_u8_io_kernel_interpret(rng, monkeypatch):
+    """Byte pipeline under sharding: u8 strips through the halo exchange,
+    in-kernel decode + UNORM encode; bit-exact vs the unsharded kernel."""
+    from fsr_tpu.kernels import easu_gather as eg
+
+    monkeypatch.setattr(eg, "INTERPRET", True)
+    monkeypatch.setattr(spatial, "_kernel_path", lambda mesh: True)
+    mesh = sharding.make_mesh(4, ("sp",))
+    # hl = 24 == tj: whole-strip tiles satisfy the u8 32-row granule rule.
+    in_hw, out_hw = (64, 256), (96, 384)  # 1.5x hybrid
+    img = jnp.asarray(
+        (rng.random((3, *in_hw)) * 255).astype(np.uint8)
+    )
+    out = spatial.upscale_spatial_sharded(
+        img, out_hw, mesh, axis="sp", out_dtype=jnp.uint8
+    )
+    assert out.dtype == jnp.uint8
+    con = EasuConstants.create(
+        (in_hw[1], in_hw[0]), None, (out_hw[1], out_hw[0])
+    )
+    want = eg.easu_gather(
+        img, out_hw, con, RcasConstants(0.25), apply_rcas=True,
+        out_dtype=jnp.uint8,
+    )
+    assert np.array_equal(np.asarray(out), np.asarray(want))
+
+
+def test_spatial_sharded_u16_out_xla(rng):
+    mesh = sharding.make_mesh(4, ("sp",))
+    in_hw, out_hw = (96, 144), (144, 216)
+    img = jnp.asarray(rng.uniform(0, 1, (3, *in_hw)).astype(np.float32))
+    out = spatial.upscale_spatial_sharded(
+        img, out_hw, mesh, axis="sp", out_dtype=jnp.uint16
+    )
+    assert out.dtype == jnp.uint16
+    from fsr_tpu.kernels.epilogue import encode_unorm10
+
+    want = encode_unorm10(jnp.asarray(_reference(img, out_hw)))
+    # Codes are integers; FMA noise can flip a knife-edge code by 1.
+    d = np.abs(np.asarray(out).astype(np.int32) - np.asarray(want).astype(np.int32))
+    assert d.max() <= 1 and (d != 0).mean() < 1e-3
