@@ -81,6 +81,7 @@ _SLOW = {
     "test_kernels_general.py::test_easu_gather_fused_rcas[in_hw4-out_hw4]",
     "test_fuzz_sizes.py::test_fuzz_dispatchable_kernels_match_xla[in_hw1-out_hw1]",
     "test_fuzz_sizes.py::test_fuzz_dispatchable_kernels_match_xla[in_hw8-out_hw8]",
+    "test_parallel.py::test_spatial_sharded_fuzz_ratios",
     "test_kernels_general.py::test_easu_gather_matches_xla[in_hw0-out_hw0]",
     "test_kernels_general.py::test_easu_gather_matches_xla[in_hw4-out_hw4]",
     "test_kernels_general.py::test_easu_gather_drs_offset",

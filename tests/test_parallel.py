@@ -350,3 +350,31 @@ def test_spatial_sharded_u16_out_xla(rng):
     # Codes are integers; FMA noise can flip a knife-edge code by 1.
     d = np.abs(np.asarray(out).astype(np.int32) - np.asarray(want).astype(np.int32))
     assert d.max() <= 1 and (d != 0).mean() < 1e-3
+
+
+def test_spatial_sharded_fuzz_ratios(rng):
+    """Randomized (ratio, shard-count) sweep of the general path's plan
+    builder: odd sizes, ragged tiles, coordinate drift — every config
+    must match the unsharded XLA chain."""
+    cases = 0
+    for _ in range(12):
+        n = int(rng.choice([2, 3, 4, 6, 8]))
+        hin = int(n * rng.integers(8, 30))
+        win = int(rng.integers(40, 160))
+        s = float(rng.uniform(1.05, 2.0))
+        hout = int(-(-int(hin * s) // n) * n)
+        wout = int(win * s)
+        if not spatial.spatial_shardable((hin, win), (hout, wout), n):
+            continue
+        mesh = sharding.make_mesh(n, ("sp",))
+        img = rng.uniform(0, 1, (3, hin, win)).astype(np.float32)
+        out = spatial.upscale_spatial_sharded(
+            jnp.asarray(img), (hout, wout), mesh, axis="sp"
+        )
+        want = _reference(img, (hout, wout))
+        np.testing.assert_allclose(
+            np.asarray(out), want, atol=3e-6,
+            err_msg=f"in={hin}x{win} out={hout}x{wout} n={n}",
+        )
+        cases += 1
+    assert cases >= 6, f"only {cases} valid fuzz cases generated"
