@@ -338,6 +338,11 @@ class UpscalePipeline:
     frame (the sample's temporal blue noise, FSR_Tonemapping.hlsl:86-88;
     see fsr_tpu.utils.noise.temporal_blue_noise).  Default: the TEPD
     golden-ratio ordered dither.
+    mesh / spatial_axis / batch_axis: optional multi-chip execution — each
+    frame row-shards across `mesh[spatial_axis]` (any upscale ratio; halo
+    exchange over ICI) and the batch over `batch_axis`, via
+    parallel.spatial.upscale_spatial_sharded.  The fused epilogue rides
+    per-shard global coordinates, so output matches single-device.
     """
 
     def __init__(
@@ -355,6 +360,9 @@ class UpscalePipeline:
         compute_dtype=jnp.float32,
         impl: str = "auto",
         out_dtype=None,
+        mesh=None,
+        spatial_axis: str = "sp",
+        batch_axis: Optional[str] = None,
     ):
         if out_dtype is not None and jnp.dtype(out_dtype) in (jnp.uint8,
                                                               jnp.uint16):
@@ -383,6 +391,9 @@ class UpscalePipeline:
         self.compute_dtype = compute_dtype
         self.impl = impl
         self.out_dtype = out_dtype
+        self.mesh = mesh
+        self.spatial_axis = spatial_axis
+        self.batch_axis = batch_axis
         self._grain_cache = []
 
     def _planar_grain(self, grain, in_hw):
@@ -463,6 +474,21 @@ class UpscalePipeline:
                 page = jax.lax.dynamic_index_in_dim(
                     t3, jnp.asarray(frame, jnp.int32) % t3.shape[0],
                     axis=0, keepdims=False,
+                )
+            if self.mesh is not None:
+                from fsr_tpu.parallel import spatial as spatial_mod
+
+                return spatial_mod.upscale_spatial_sharded(
+                    x, self.out_size, self.mesh, axis=self.spatial_axis,
+                    batch_axis=self.batch_axis, sharpness=self.sharpness,
+                    apply_rcas=self.apply_rcas, denoise=self.denoise,
+                    compute_dtype=self.compute_dtype,
+                    epilogue=None if epi.is_noop else epi, frame=frame,
+                    grain=grain if use_grain else None, dither_page=page,
+                    prologue="srtm" if self.hdr_srtm else "none",
+                    out_dtype=self.out_dtype if (fuse or
+                                                 self.dither_bits is None)
+                    else None,
                 )
             gp = (self._planar_grain(grain, x.shape[-2:])
                   if use_grain else None)

@@ -378,3 +378,25 @@ def test_spatial_sharded_fuzz_ratios(rng):
         )
         cases += 1
     assert cases >= 6, f"only {cases} valid fuzz cases generated"
+
+
+def test_pipeline_mesh_full_chain(rng):
+    """UpscalePipeline(mesh=...) runs the full chain row-sharded: matches
+    the single-device pipeline (XLA paths on the CPU mesh)."""
+    from fsr_tpu import api
+
+    mesh = sharding.make_mesh(4, ("sp",))
+    in_hw, out_hw = (96, 144), (144, 216)
+    hdr = rng.uniform(0, 4.0, (3, *in_hw)).astype(np.float32)
+    grain = rng.uniform(-0.5, 0.5, (3, *out_hw)).astype(np.float32)
+    kw = dict(
+        out_size=out_hw, hdr_srtm=True, grain_amount=0.25, dither_bits=10
+    )
+    sharded = api.UpscalePipeline(mesh=mesh, **kw)
+    single = api.UpscalePipeline(impl="xla", **kw)
+    got = np.asarray(sharded(jnp.asarray(hdr), grain=jnp.asarray(grain), frame=3))
+    want = np.asarray(single(jnp.asarray(hdr), grain=jnp.asarray(grain), frame=3))
+    # Both run dithered-quantized codes; FMA noise can flip knife-edge
+    # codes (1/1023 steps) at isolated pixels.
+    d = np.abs(got - want)
+    assert (d > 1.5 / 1023).mean() == 0 and (d != 0).mean() < 2e-3
