@@ -217,6 +217,10 @@ def upscale_spatial_sharded(
         raise ValueError(
             "out_dtype must be uint8/uint16 or match compute_dtype"
         )
+    if epilogue is not None and epilogue.dither_bits == 10 and u8_out:
+        # 10-bit TEPD codes k/1023 are not representable as x255 UNORM
+        # bytes (mirrors api.upscale's check).
+        raise ValueError("uint8 output cannot hold 10-bit codes")
     con = EasuConstants.create((win, hin), None, (wout, hout))
     rcon = RcasConstants(sharpness)
     hl_out = hout // n
