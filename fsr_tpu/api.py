@@ -284,7 +284,7 @@ def sharpen(
 
     u8 = image.dtype == jnp.uint8
     use_kernel = False
-    if impl in ("auto", "pallas") and image.shape[-3] == 3:
+    if impl in ("auto", "pallas") and image.shape[-3] in (3, 4):
         import jax
 
         try:
@@ -294,14 +294,21 @@ def sharpen(
         if u8 and image.shape[-2] < 32:
             use_kernel = False  # 8-bit block granule; XLA path below
     if impl == "pallas" and not use_kernel:
-        raise ValueError("pallas RCAS needs a TPU and a 3-channel image")
+        raise ValueError("pallas RCAS needs a TPU and a 3/4-channel image")
 
     if use_kernel:
         from fsr_tpu.kernels import rcas_pallas
 
+        # RCAS alpha passthrough (ffx_fsr1.h:688-705) at identical size is
+        # a verbatim copy: sharpen RGB in the kernel, carry alpha as-is.
+        rgb_in = image[..., :3, :, :] if image.shape[-3] == 4 else image
         out = rcas_pallas.rcas_fused(
-            image, rcon, denoise=denoise, compute_dtype=compute_dtype, border=border
+            rgb_in, rcon, denoise=denoise, compute_dtype=compute_dtype, border=border
         )
+        if image.shape[-3] == 4:
+            out = jnp.concatenate(
+                [out, image[..., 3:4, :, :].astype(out.dtype)], axis=-3
+            )
     else:
         if u8:
             # The Pallas kernel always sharpens bytes in f32 before the

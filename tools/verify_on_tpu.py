@@ -324,6 +324,15 @@ def main() -> int:
     if not ok:
         failures.append("rcas u8")
 
+    # RGBA sharpen: kernel RGB + verbatim alpha (the passthrough rule).
+    img4 = rng.uniform(0, 1, (4, 96, 160)).astype(np.float32)
+    got4 = np.asarray(fsr_tpu.sharpen(jnp.asarray(img4), impl="pallas"))
+    want_rgb = np.asarray(fsr_tpu.sharpen(jnp.asarray(img4[:3]), impl="pallas"))
+    ok = np.array_equal(got4[:3], want_rgb) and np.array_equal(got4[3], img4[3])
+    print(f"  {'PASS' if ok else 'FAIL'} standalone RCAS RGBA passthrough")
+    if not ok:
+        failures.append("rcas rgba")
+
     print("FAILURES:" if failures else "ALL PASS", failures or "")
     return 1 if failures else 0
 
