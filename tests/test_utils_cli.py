@@ -232,3 +232,73 @@ def test_sharpen_border_zero(rng):
     clamp = np.asarray(fsr_tpu.sharpen(img, impl="xla"))
     assert not np.allclose(out[:, 0, :], clamp[:, 0, :])
     np.testing.assert_allclose(out[:, 2:-2, 2:-2], clamp[:, 2:-2, 2:-2], atol=1e-6)
+
+
+def test_sample_app_benchmark_flythrough(tmp_path):
+    """FSRSample-analog app: keyframed benchmark loop writes per-frame CSV
+    rows and keyframe screenshots (FSRSample.json BenchmarkSettings)."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "examples"))
+    import sample_app
+
+    csv_p = str(tmp_path / "bench.csv")
+    shot = str(tmp_path / "shot")
+    cfg = sample_app.merge_config(
+        sample_app.DEFAULT_CONFIG,
+        {
+            "globals": {"width": 128, "height": 64, "preset": "performance"},
+            "scenes": [{"BenchmarkSettings": {
+                "fps": 2, "warmUpFrames": 1,
+                "resultsFilename": csv_p, "screenShotName": shot,
+            }}],
+        },
+    )
+    # list merge keeps the base scene's keyframes
+    assert "keyFrames" in cfg["scenes"][0]["BenchmarkSettings"]
+    app = sample_app.SampleApp(cfg)
+    assert app.render_hw == (32, 64)  # display / 2.0, truncated
+    rows = sample_app.run_benchmark(app, cfg["scenes"][0]["BenchmarkSettings"])
+    assert len(rows) == 5  # 2 s * 2 fps + 1
+    lines = open(csv_p).read().strip().splitlines()
+    assert lines[0] == "frame,time,ms,screenshot" and len(lines) == 6
+    assert os.path.exists(shot + "_0.png") and os.path.exists(shot + "_1.png")
+    # screenshots land on the screenShot-flagged keyframes (t=0 and t=2)
+    assert rows[0]["screenshot"] == "shot_0.png"
+    assert rows[-1]["screenshot"] == "shot_1.png"
+
+
+def test_sample_app_camera_interp():
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "examples"))
+    import sample_app
+
+    kfs = [
+        {"time": 0.0, "cy": 0.0, "cx": 0.0, "zoom": 1.0},
+        {"time": 2.0, "cy": 1.0, "cx": 2.0, "zoom": 3.0},
+    ]
+    mid = sample_app.camera_at(kfs, 1.0)
+    assert abs(mid["cy"] - 0.5) < 1e-9 and abs(mid["zoom"] - 2.0) < 1e-9
+    assert sample_app.camera_at(kfs, -1.0)["zoom"] == 1.0
+    assert sample_app.camera_at(kfs, 9.0)["zoom"] == 3.0
+
+
+def test_sample_app_hdr_mode_chain(tmp_path):
+    """HDR globals: tonemap+TEPD10 feeds FSR's gamma2 (Sample.x==1) chain;
+    output is linear and in range."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "examples"))
+    import sample_app
+
+    cfg = sample_app.merge_config(
+        sample_app.DEFAULT_CONFIG,
+        {"globals": {"width": 128, "height": 64, "hdr": True,
+                     "preset": "quality"}},
+    )
+    app = sample_app.SampleApp(cfg)
+    cam = {"cy": 0.5, "cx": 0.5, "zoom": 1.0}
+    out = np.asarray(app.render_frame(cam, 0.0, 3), np.float32)
+    assert out.shape == (3, 64, 128)
+    assert np.isfinite(out).all() and out.min() >= 0.0 and out.max() <= 1.0
