@@ -123,3 +123,18 @@ def test_sharpen_standalone(rng):
         fsr_tpu.sharpen(jnp.asarray(np.moveaxis(img, 0, -1)), sharpness=0.5, layout="HWC")
     )
     np.testing.assert_array_equal(np.moveaxis(hwc, -1, 0), out)
+
+
+def test_sharpen_rgba_alpha_passthrough(rng):
+    """RCAS at identical size copies alpha verbatim (the
+    FSR_RCAS_PASSTHROUGH_ALPHA rule, ffx_fsr1.h:688-705): RGB matches the
+    3-channel sharpen, alpha is untouched — on every backend."""
+    img = _img(rng, 24, 36)
+    alpha = rng.uniform(0, 1, (1, 24, 36)).astype(np.float32)
+    rgba = jnp.asarray(np.concatenate([img, alpha], axis=0))
+    out = np.asarray(fsr_tpu.sharpen(rgba, sharpness=0.5))
+    assert out.shape == (4, 24, 36)
+    np.testing.assert_array_equal(
+        out[:3], np.asarray(fsr_tpu.sharpen(jnp.asarray(img), sharpness=0.5))
+    )
+    np.testing.assert_array_equal(out[3:], alpha)
