@@ -216,15 +216,68 @@ def upscale(
     if epilogue is not None and epilogue.is_noop:
         epilogue = None
     if use_pallas:
+        from fsr_tpu import autodiff
         from fsr_tpu.kernels import dispatch as kdispatch
 
-        out = kdispatch.upscale_fused(
-            rgb, out_hw, con, rcon,
-            apply_rcas=apply_rcas, denoise=denoise, compute_dtype=compute_dtype,
-            epilogue=epilogue, frame=frame, grain=grain,
-            grain_planar=grain_planar, prologue=prologue, out_dtype=out_dtype,
-            dither_page=dither_page,
+        # Traced auxiliaries must ride as custom_vjp operands (closures in
+        # a custom_vjp body may not capture tracers); static values stay
+        # closed over.
+        aux, statics = {}, {}
+        for name, val in (("frame", frame), ("grain", grain),
+                          ("grain_planar", grain_planar),
+                          ("dither_page", dither_page)):
+            if val is not None:
+                (aux if autodiff.is_traced(val) else statics)[name] = val
+
+        def _kernel(img, ax):
+            m = {**statics, **ax}
+            return kdispatch.upscale_fused(
+                img, out_hw, con, rcon,
+                apply_rcas=apply_rcas, denoise=denoise,
+                compute_dtype=compute_dtype, epilogue=epilogue,
+                frame=m.get("frame"), grain=m.get("grain"),
+                grain_planar=m.get("grain_planar"), prologue=prologue,
+                out_dtype=out_dtype, dither_page=m.get("dither_page"),
+            )
+
+        def _xla_twin(img, ax):
+            # The exact impl="xla" math over the kernel's operands (RGBA
+            # when the kernel resolves alpha natively), for the backward
+            # pass — see fsr_tpu.autodiff.
+            m = {**statics, **ax}
+            a = None
+            t = img
+            if t.shape[-3] == 4:
+                a = easu_ops.bilinear(t[..., 3:4, :, :], out_hw, con)
+                t = t[..., :3, :, :]
+            if prologue == "srtm":
+                t = extras.srtm(t)
+            o = easu_ops.easu(t, out_hw, con, compute_dtype=compute_dtype)
+            if apply_rcas:
+                o = rcas_ops.rcas(o, rcon, denoise=denoise,
+                                  compute_dtype=compute_dtype)
+            if epilogue is not None:
+                o = _apply_epilogue_xla(o, epilogue, m.get("frame"),
+                                        m.get("grain"),
+                                        dither_page=m.get("dither_page"))
+            if out_dtype is not None:
+                o = o.astype(out_dtype)
+            if a is not None:
+                o = jnp.concatenate([o, a.astype(o.dtype)], axis=-3)
+            return o
+
+        # Differentiable when gradients can flow at all (float in/out) and
+        # the twin can reproduce the kernel's grain (plain grain present
+        # whenever planar grain is).
+        diffable = (
+            jnp.issubdtype(rgb.dtype, jnp.floating)
+            and not u8_out and not u16_out
+            and not (grain is None and grain_planar is not None)
         )
+        if diffable:
+            out = autodiff.kernel_with_xla_vjp(_kernel, _xla_twin, rgb, aux)
+        else:
+            out = _kernel(rgb, aux)
     else:
         if u8_in:
             rgb = rgb.astype(jnp.float32) * jnp.float32(1.0 / 255.0)
@@ -297,14 +350,27 @@ def sharpen(
         raise ValueError("pallas RCAS needs a TPU and a 3/4-channel image")
 
     if use_kernel:
+        from fsr_tpu import autodiff
         from fsr_tpu.kernels import rcas_pallas
 
         # RCAS alpha passthrough (ffx_fsr1.h:688-705) at identical size is
         # a verbatim copy: sharpen RGB in the kernel, carry alpha as-is.
         rgb_in = image[..., :3, :, :] if image.shape[-3] == 4 else image
-        out = rcas_pallas.rcas_fused(
-            rgb_in, rcon, denoise=denoise, compute_dtype=compute_dtype, border=border
-        )
+
+        def _kernel(img, ax):
+            return rcas_pallas.rcas_fused(
+                img, rcon, denoise=denoise, compute_dtype=compute_dtype,
+                border=border,
+            )
+
+        def _xla_twin(img, ax):
+            return rcas_ops.rcas(img, rcon, denoise=denoise,
+                                 compute_dtype=compute_dtype, border=border)
+
+        if jnp.issubdtype(rgb_in.dtype, jnp.floating):
+            out = autodiff.kernel_with_xla_vjp(_kernel, _xla_twin, rgb_in, {})
+        else:
+            out = _kernel(rgb_in, {})
         if image.shape[-3] == 4:
             out = jnp.concatenate(
                 [out, image[..., 3:4, :, :].astype(out.dtype)], axis=-3

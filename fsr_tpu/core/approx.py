@@ -6,10 +6,19 @@ in its resolve (ffx_fsr1.h:765), so the TPU kernels evaluate the same bit
 tricks (uint32/uint16 casts on the VPU) rather than native division.  All
 functions are dtype-polymorphic over float32/float16; bfloat16 inputs fall
 back to rounding through float32 tricks (there is no reference bf16 path).
+
+Differentiability: the bit tricks run through integer bitcasts, which have
+no derivative, so each carries a `jax.custom_jvp` whose tangent is the
+derivative of the *ideal* function the trick approximates (d(1/a) = -1/a^2,
+etc.).  Forward values are untouched (the primal is the exact bit trick;
+custom_jvp_call inlines in Pallas/Mosaic lowering), and `jax.grad` flows
+through the whole XLA upscale path — FSR as a differentiable layer in
+learned (super-resolution / perceptual-loss) training pipelines.
 """
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -52,6 +61,7 @@ def _float(u, ft):
     return lax.bitcast_convert_type(u, ft)
 
 
+@jax.custom_jvp
 def prx_lo_rcp(a: jnp.ndarray) -> jnp.ndarray:
     """APrxLoRcp: 1-op reciprocal estimate (positive inputs)."""
     ut, ft = _dispatch(a)
@@ -59,6 +69,24 @@ def prx_lo_rcp(a: jnp.ndarray) -> jnp.ndarray:
     return _float(ut(magic) - _bits(a), ft)
 
 
+def _finite(m):
+    """Zero non-finite gradient multipliers.
+
+    The forward paths guard their degenerate inputs (EASU's dir zero-protect,
+    RCAS's NaN-drop max), so the cotangent arriving at a degenerate point is
+    already zero — but reverse mode still evaluates `0 * inf`, which is NaN.
+    Zeroing the multiplier gives the conventional "flat at the guard" gradient.
+    """
+    return jnp.where(jnp.isfinite(m), m, jnp.zeros_like(m))
+
+
+@prx_lo_rcp.defjvp
+def _prx_lo_rcp_jvp(primals, tangents):
+    (a,), (t,) = primals, tangents
+    return prx_lo_rcp(a), t * _finite(-1.0 / (a * a))
+
+
+@jax.custom_jvp
 def prx_med_rcp(a: jnp.ndarray) -> jnp.ndarray:
     """APrxMedRcp: reciprocal estimate + one Newton-Raphson step."""
     ut, ft = _dispatch(a)
@@ -67,6 +95,13 @@ def prx_med_rcp(a: jnp.ndarray) -> jnp.ndarray:
     return b * (-b * a + ft(2.0))
 
 
+@prx_med_rcp.defjvp
+def _prx_med_rcp_jvp(primals, tangents):
+    (a,), (t,) = primals, tangents
+    return prx_med_rcp(a), t * _finite(-1.0 / (a * a))
+
+
+@jax.custom_jvp
 def prx_lo_rsq(a: jnp.ndarray) -> jnp.ndarray:
     """APrxLoRsq: 2-op rsqrt estimate (positive inputs)."""
     ut, ft = _dispatch(a)
@@ -74,6 +109,14 @@ def prx_lo_rsq(a: jnp.ndarray) -> jnp.ndarray:
     return _float(ut(magic) - (_bits(a) >> ut(1)), ft)
 
 
+@prx_lo_rsq.defjvp
+def _prx_lo_rsq_jvp(primals, tangents):
+    (a,), (t,) = primals, tangents
+    half = jnp.asarray(0.5, a.dtype)
+    return prx_lo_rsq(a), t * _finite(-half * lax.rsqrt(a) / a)
+
+
+@jax.custom_jvp
 def prx_lo_sqrt(a: jnp.ndarray) -> jnp.ndarray:
     """APrxLoSqrt: 2-op sqrt estimate (positive inputs)."""
     ut, ft = _dispatch(a)
@@ -81,9 +124,29 @@ def prx_lo_sqrt(a: jnp.ndarray) -> jnp.ndarray:
     return _float((_bits(a) >> ut(1)) + ut(magic), ft)
 
 
+@prx_lo_sqrt.defjvp
+def _prx_lo_sqrt_jvp(primals, tangents):
+    (a,), (t,) = primals, tangents
+    half = jnp.asarray(0.5, a.dtype)
+    return prx_lo_sqrt(a), t * _finite(half * lax.rsqrt(a))
+
+
+@jax.custom_jvp
 def rcp(a: jnp.ndarray) -> jnp.ndarray:
-    """High-precision reciprocal (ARcp semantics for the oracle contract)."""
+    """High-precision reciprocal (ARcp semantics for the oracle contract).
+
+    Carries the same finite-guarded derivative as the approximations: the
+    RCAS limiters deliberately evaluate `min(...) * rcp(0) = NaN` and drop
+    it via HLSL max semantics (easu_math.py), so the multiplier must not
+    turn the dropped branch's zero cotangent into `0 * inf`.
+    """
     return jnp.asarray(1.0, a.dtype) / a
+
+
+@rcp.defjvp
+def _rcp_jvp(primals, tangents):
+    (a,), (t,) = primals, tangents
+    return rcp(a), t * _finite(-1.0 / (a * a))
 
 
 def rcp_fast(a: jnp.ndarray) -> jnp.ndarray:

@@ -333,6 +333,24 @@ def main() -> int:
     if not ok:
         failures.append("rcas rgba")
 
+    # Differentiability on hardware (docs/AUTODIFF.md): forward = fused
+    # Pallas kernel, backward = the XLA twin's VJP.  With a linear loss the
+    # kernel-path gradient must be bit-equal to the impl="xla" gradient.
+    print("autodiff (kernel forward, XLA-twin backward):")
+    gimg = jnp.asarray(rng.uniform(0.1, 0.9, (3, 270, 480)).astype(np.float32))
+    for label, sc in (("2x fused", 2.0), ("1.5x gather", 1.5)):
+        g_k = jax.jit(jax.grad(lambda x: jnp.sum(
+            fsr_tpu.upscale(x, scale=sc, impl="pallas"))))(gimg)
+        g_x = jax.jit(jax.grad(lambda x: jnp.sum(
+            fsr_tpu.upscale(x, scale=sc, impl="xla"))))(gimg)
+        gk, gx = np.asarray(g_k), np.asarray(g_x)
+        ok = np.array_equal(gk, gx) and np.isfinite(gk).all() and \
+            np.abs(gk).max() > 0
+        print(f"  {'PASS' if ok else 'FAIL'} grad {label}: "
+              f"max|Δ|={np.abs(gk - gx).max():.3g}")
+        if not ok:
+            failures.append(f"grad {label}")
+
     print("FAILURES:" if failures else "ALL PASS", failures or "")
     return 1 if failures else 0
 
