@@ -76,7 +76,15 @@ import os
 # Timing-ablation hook driven by tools/ablation/gather_ablation.py: stubs
 # out pieces of the col-gather selection pipeline to attribute device time.
 # Output is wrong under every non-empty mode; never set in production.
+# Guarded by an explicit opt-in so a stray env var cannot silently corrupt
+# output: any mode without FSR_GATHER_ABL_I_KNOW=1 is a hard error.
 _ABL = os.environ.get("FSR_GATHER_ABL", "")
+if _ABL and os.environ.get("FSR_GATHER_ABL_I_KNOW") != "1":
+    raise RuntimeError(
+        "FSR_GATHER_ABL is set but produces deliberately WRONG output "
+        "(timing ablation only; tools/ablation/gather_ablation.py). "
+        "Set FSR_GATHER_ABL_I_KNOW=1 to confirm, or unset FSR_GATHER_ABL."
+    )
 
 
 def supported(in_shape, out_size, con: EasuConstants, compute_dtype,

@@ -215,3 +215,25 @@ def test_easu_gather_wide_tile_plan_bf16(rng, monkeypatch):
         img, out_hw, con, rcon, apply_rcas=True, compute_dtype=jnp.bfloat16
     ).astype(jnp.float32))
     np.testing.assert_array_equal(got, want)
+
+
+def test_ablation_hook_requires_opt_in():
+    """FSR_GATHER_ABL corrupts output by design; importing with it set but
+    without the explicit FSR_GATHER_ABL_I_KNOW=1 opt-in must hard-error."""
+    import subprocess
+    import sys
+
+    code = (
+        "import fsr_tpu.kernels.easu_gather"
+    )
+    env = {"FSR_GATHER_ABL": "noroll", "PATH": "/usr/bin:/bin",
+           "JAX_PLATFORMS": "cpu"}
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       text=True, env=env, cwd="/root/repo", timeout=300)
+    assert r.returncode != 0
+    assert "FSR_GATHER_ABL_I_KNOW" in r.stderr
+
+    env["FSR_GATHER_ABL_I_KNOW"] = "1"
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       text=True, env=env, cwd="/root/repo", timeout=300)
+    assert r.returncode == 0, r.stderr

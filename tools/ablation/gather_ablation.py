@@ -45,7 +45,7 @@ def main():
     size = {"1.3": (2954, 1662), "1.7": (2259, 1271)}[preset]
     base = None
     for mode, desc in MODES:
-        env = dict(os.environ, FSR_GATHER_ABL=mode)
+        env = dict(os.environ, FSR_GATHER_ABL=mode, FSR_GATHER_ABL_I_KNOW="1")
         out = subprocess.run(
             [sys.executable, "-c", _CHILD.replace("SIZE", repr(size))],
             capture_output=True, text=True, env=env, timeout=600, cwd=_ROOT)

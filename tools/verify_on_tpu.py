@@ -32,6 +32,13 @@ def main() -> int:
     rng = np.random.default_rng(0)
     failures = []
 
+    # 0. The timing-ablation hook must be off: any non-empty mode corrupts
+    # gather-kernel output by design (tools/ablation/gather_ablation.py).
+    abl = os.environ.get("FSR_GATHER_ABL", "")
+    print(f"  {'PASS' if not abl else 'FAIL'} FSR_GATHER_ABL unset")
+    if abl:
+        failures.append("FSR_GATHER_ABL set")
+
     def check(name, got, want, tol):
         d = float(np.max(np.abs(np.asarray(got, np.float32) - want)))
         ok = d <= tol
@@ -172,6 +179,25 @@ def main() -> int:
     if not kernel_taken:
         failures.append("sharded kernel path")
     check("sharded sp=1 vs oracle", lowered(jnp.asarray(img)), want_s, 2e-5)
+
+    # 5a. General-ratio sharded path (1.5x, sp=1): the build_shard_plans ->
+    # easu_gather(row_plan=...) route, compiled and executed on hardware
+    # (interpret-mode CPU tests cover n>1; this pins the plan-fed kernel
+    # geometry on the real chip).
+    print("sharded general-ratio kernel path (1.5x, sp=1 on TPU):")
+    img_g15 = rng.uniform(0, 1, (3, 360, 854)).astype(np.float32)
+    con_g15 = EasuConstants.create((854, 360), None, (1281, 540))
+    want_g15 = oracle(img_g15, (540, 1281), con_g15, RcasConstants(0.25))
+    lowered_g = jax.jit(
+        lambda z: spatial.upscale_spatial_sharded(z, (540, 1281), mesh1, axis="sp")
+    ).lower(jnp.asarray(img_g15)).compile()
+    hlo_g = lowered_g.as_text()
+    kernel_taken_g = "tpu_custom_call" in hlo_g
+    print(f"  {'PASS' if kernel_taken_g else 'FAIL'} pallas kernel in sharded HLO")
+    if not kernel_taken_g:
+        failures.append("sharded general-ratio kernel path")
+    check("sharded 1.5x sp=1 vs oracle", lowered_g(jnp.asarray(img_g15)),
+          want_g15, 4e-5)
 
     # 6. Fused output epilogue (transform + grain + TEPD dither in-kernel)
     # on both kernel families, vs the oracle + ops.extras chain.
