@@ -28,6 +28,15 @@ from fsr_tpu.core.constants import FSR_RCAS_LIMIT
 
 __all__ = ["TAP_OFFSETS", "EASU_QUADS", "easu_resolve", "rcas_resolve"]
 
+# Stage-knockout set for tools/ablation/fused_stage_ablation.py ONLY.
+# Settable solely by assigning the module global from Python (no env hook:
+# a stray environment variable must never corrupt production output);
+# tools/verify_on_tpu.py asserts it is empty.  Every knockout keeps the
+# dataflow shape (substitutes a cheap data-dependent stand-in) so Mosaic
+# cannot constant-fold the downstream pipeline away — output is WRONG
+# under any knockout; this measures cost, not correctness.
+_ABLATION_STAGES: frozenset = frozenset()
+
 # (dx, dy) offsets from 'f' for the 12-tap footprint, in FsrEasuF
 # accumulation order (ffx_fsr1.h:423-434).
 TAP_OFFSETS: Dict[str, Tuple[int, int]] = {
@@ -255,28 +264,36 @@ def easu_resolve(
             length = length + len_y * len_y * w
         return dirx, diry, length
 
-    parts = [accumulate_quads(g) for g in quad_groups]
-    dirx, diry, length = parts[0]
-    for p_ in parts[1:]:
-        dirx = dirx + p_[0]
-        diry = diry + p_[1]
-        length = length + p_[2]
+    if "set" in _ABLATION_STAGES:
+        f0 = (taps["f"][0] if stacked else taps["f"][0]).astype(ddt)
+        dirx, diry, length = f0, f0 * cd(0.5), _sat(f0)
+    else:
+        parts = [accumulate_quads(g) for g in quad_groups]
+        dirx, diry, length = parts[0]
+        for p_ in parts[1:]:
+            dirx = dirx + p_[0]
+            diry = diry + p_[1]
+            length = length + p_[2]
 
     # Direction normalization with zero-protect (ffx_fsr1.h:388-395).
-    dir_r = dirx * dirx + diry * diry
-    zro = dir_r < cd(1.0 / 32768.0)
-    dir_r = _lo_rsq(dir_r, ddt)
-    dir_r = jnp.where(zro, one, dir_r)
-    dirx = jnp.where(zro, one, dirx)
-    dirx = dirx * dir_r
-    diry = diry * dir_r
-    length = length * cd(0.5)
-    length = length * length
-    stretch = (dirx * dirx + diry * diry) * _lo_rcp(jnp.maximum(jnp.abs(dirx), jnp.abs(diry)), ddt)
-    len2_x = one + (stretch - one) * length
-    len2_y = one + cd(-0.5) * length
-    lob = cd(0.5) + cd((1.0 / 4.0 - 0.04) - 0.5) * length
-    clp = _lo_rcp(lob, ddt)
+    if "norm" in _ABLATION_STAGES:
+        len2_x, len2_y = dirx, diry
+        lob, clp = length, dirx
+    else:
+        dir_r = dirx * dirx + diry * diry
+        zro = dir_r < cd(1.0 / 32768.0)
+        dir_r = _lo_rsq(dir_r, ddt)
+        dir_r = jnp.where(zro, one, dir_r)
+        dirx = jnp.where(zro, one, dirx)
+        dirx = dirx * dir_r
+        diry = diry * dir_r
+        length = length * cd(0.5)
+        length = length * length
+        stretch = (dirx * dirx + diry * diry) * _lo_rcp(jnp.maximum(jnp.abs(dirx), jnp.abs(diry)), ddt)
+        len2_x = one + (stretch - one) * length
+        len2_y = one + cd(-0.5) * length
+        lob = cd(0.5) + cd((1.0 / 4.0 - 0.04) - 0.5) * length
+        clp = _lo_rcp(lob, ddt)
     # Hand the per-pixel filter shape to the accumulation dtype.
     dirx = dirx.astype(dt)
     diry = diry.astype(dt)
@@ -346,12 +363,30 @@ def easu_resolve(
             dx, dy = TAP_OFFSETS[name]
             off_x = c(float(dx)) - ppx
             off_y = c(float(dy)) - ppy
+            if "weights" in _ABLATION_STAGES:
+                w = lob if (dx + dy) % 2 == 0 else clp
+                if stacked:
+                    ac = ac + taps[name].astype(dt) * w[None]
+                else:
+                    for i in range(nch):
+                        ac[i] = ac[i] + taps[name][i].astype(dt) * w
+                aw = aw + w
+                continue
             if fast:
                 d2 = c_dx[dx] + (off_x * a_dy[dy] + b_dy[dy])
             else:
                 vx = (off_x * dirx + off_y * diry) * len2_x
                 vy = (off_x * (-diry) + off_y * dirx) * len2_y
                 d2 = vx * vx + vy * vy
+            if "poly" in _ABLATION_STAGES:
+                w = d2
+                if stacked:
+                    ac = ac + taps[name].astype(dt) * w[None]
+                else:
+                    for i in range(nch):
+                        ac[i] = ac[i] + taps[name][i].astype(dt) * w
+                aw = aw + w
+                continue
             d2 = jnp.minimum(d2, clp)
             w_a = lob * d2 + c(-1.0)
             w_a = w_a * w_a
@@ -381,6 +416,10 @@ def easu_resolve(
         aw = aw + aw2
 
     inv_w = hi_rcp(aw)
+    if "dering" in _ABLATION_STAGES:
+        if stacked:
+            return ac * inv_w[None]
+        return tuple(ac[i] * inv_w for i in range(nch))
     if stacked:
         return jnp.minimum(max4, jnp.maximum(min4, ac * inv_w[None]))
     return tuple(
@@ -438,20 +477,64 @@ def rcas_resolve(
         nz = _sat(jnp.abs(nz) * med_rcp(rng))
         nz = c(-0.5) * nz + c(1.0)
 
-    for i in range(3):
-        b, d, e, f, h = taps_b[i], taps_d[i], taps_e[i], taps_f[i], taps_h[i]
-        mn4 = jnp.minimum(jnp.minimum(b, d), jnp.minimum(f, h))
-        mx4 = jnp.maximum(jnp.maximum(b, d), jnp.maximum(f, h))
-        # Limiters need high-precision rcp (ffx_fsr1.h:749).
-        # These divisions can hit 0*INF = NaN (e.g. mx4 == 0 under a bright
-        # center pixel); GPU max() drops the NaN operand — emulated here.
-        # This is load-bearing: it lets RCAS spike isolated bright pixels.
-        hit_min = jnp.minimum(mn4, e) * hi_rcp(c(4.0) * mx4)
-        hit_max = (c(1.0) - jnp.maximum(mx4, e)) * hi_rcp(c(4.0) * mn4 + c(-4.0))
-        lobe_ch = _nan_drop_max(-hit_min, hit_max)
-        lobe = lobe_ch if lobe is None else jnp.maximum(lobe, lobe_ch)
+    if "rcaslimit" in _ABLATION_STAGES:
+        lobe = taps_e[0] * c(-0.01)
+    elif fast:
+        # Division-light limiter (kernels): algebraically the same solve.
+        # With u = min(mn4, e), v = 1 - max(mx4, e), q = 1 - mn4 (all >= 0
+        # for in-range input), the reference's
+        #   lobe = max_ch(max(-hitMin, hitMax)) = -(1/4) min_ch min(u/mx4, v/q)
+        # so the 6 rcps + NaN-drop maxes collapse to cross-multiplied
+        # selects and ONE reciprocal; the 1/4 folds into `sharp` exactly
+        # (power-of-two scaling commutes bit-for-bit through rcp and mul).
+        # NaN semantics (load-bearing: isolated bright pixels spike) carry
+        # over exactly: u/mx4 is 0/0 iff mx4 == 0, where u*q < v*mx4 is
+        # 0 < 0 = False and the select takes v/q (q = 1 there) — the
+        # reference's dropped-NaN branch; v/q is 0/0 iff mn4 == 1, which
+        # forces v == 0, so that side is ignored by substituting v = 1
+        # (making u*q = 0 < mx4 = 1 pick u/mx4, again the reference's
+        # branch).  Selected denominators are therefore always > 0.
+        # Select-vs-max disagreements happen only when the two exact
+        # ratios are within the rcp's ~1 ulp — either pick is within
+        # ~1e-7 of the reference's.
+        num = den = None
+        one = c(1.0)
+        for i in range(3):
+            b, d, e, f, h = taps_b[i], taps_d[i], taps_e[i], taps_f[i], taps_h[i]
+            mn4 = jnp.minimum(jnp.minimum(b, d), jnp.minimum(f, h))
+            mx4 = jnp.maximum(jnp.maximum(b, d), jnp.maximum(f, h))
+            u = jnp.minimum(mn4, e)
+            v = one - jnp.maximum(mx4, e)
+            q = one - mn4
+            v_s = jnp.where(q == c(0.0), one, v)
+            pick1 = u * q < v_s * mx4
+            n_c = jnp.where(pick1, u, v)
+            d_c = jnp.where(pick1, mx4, q)
+            if num is None:
+                num, den = n_c, d_c
+            else:
+                sw = n_c * den < num * d_c
+                num = jnp.where(sw, n_c, num)
+                den = jnp.where(sw, d_c, den)
+        r = jnp.minimum(jnp.maximum(num * hi_rcp(den), c(0.0)),
+                        c(4.0 * FSR_RCAS_LIMIT))
+        lobe = r * (sharp * c(-0.25))
+    else:
+        for i in range(3):
+            b, d, e, f, h = taps_b[i], taps_d[i], taps_e[i], taps_f[i], taps_h[i]
+            mn4 = jnp.minimum(jnp.minimum(b, d), jnp.minimum(f, h))
+            mx4 = jnp.maximum(jnp.maximum(b, d), jnp.maximum(f, h))
+            # Limiters need high-precision rcp (ffx_fsr1.h:749).
+            # These divisions can hit 0*INF = NaN (e.g. mx4 == 0 under a bright
+            # center pixel); GPU max() drops the NaN operand — emulated here.
+            # This is load-bearing: it lets RCAS spike isolated bright pixels.
+            hit_min = jnp.minimum(mn4, e) * hi_rcp(c(4.0) * mx4)
+            hit_max = (c(1.0) - jnp.maximum(mx4, e)) * hi_rcp(c(4.0) * mn4 + c(-4.0))
+            lobe_ch = _nan_drop_max(-hit_min, hit_max)
+            lobe = lobe_ch if lobe is None else jnp.maximum(lobe, lobe_ch)
 
-    lobe = jnp.maximum(c(-FSR_RCAS_LIMIT), jnp.minimum(lobe, c(0.0))) * sharp
+    if not fast and "rcaslimit" not in _ABLATION_STAGES:
+        lobe = jnp.maximum(c(-FSR_RCAS_LIMIT), jnp.minimum(lobe, c(0.0))) * sharp
     if denoise:
         lobe = lobe * nz
     rcp_l = med_rcp(c(4.0) * lobe + c(1.0))

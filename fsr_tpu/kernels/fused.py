@@ -337,6 +337,7 @@ def planarize_grain(grain, out_size: Tuple[int, int], con: EasuConstants):
     static_argnames=(
         "out_size", "con", "rcon", "apply_rcas", "denoise", "compute_dtype",
         "assemble", "global_rows", "epilogue", "prologue", "out_dtype",
+        "planar_offset_ok",
     ),
 )
 def upscale_fused(
@@ -356,6 +357,7 @@ def upscale_fused(
     prologue: str = "none",
     out_dtype=None,
     dither_page=None,
+    planar_offset_ok: bool = False,
 ) -> jnp.ndarray:
     """Fused EASU(+RCAS) on TPU.  image: (..., 3, Hin, Win) in [0, 1].
 
@@ -528,16 +530,20 @@ def upscale_fused(
     epi = epilogue
     if epi is not None and epi.is_noop:
         epi = None
-    if epi is not None and dyn_off and (epi.needs_grain or epi.needs_dither_tex):
+    if (epi is not None and dyn_off and not planar_offset_ok
+            and (epi.needs_grain or epi.needs_dither_tex)):
         # The grain/dither-page operands are phase-planar in LOCAL
         # coordinates: a row offset that is not a multiple of qy permutes
         # which page plane each phase should read, which the kernel does
-        # not (yet) re-derive.  The TEPD hash epilogue is fine (its
-        # coordinates are global via row_offset).
+        # not re-derive.  The TEPD hash epilogue is fine (its coordinates
+        # are global via row_offset).  Sharded callers that have already
+        # baked the offset into the operands — grain planarized from the
+        # shard's LOCAL output strip, dither page pre-rolled by row_offset
+        # rows (parallel/spatial.py) — declare so with planar_offset_ok.
         raise ValueError(
             "row_offset cannot be combined with a fused grain or dither "
-            "texture (phase-planar operands assume offset 0); apply those "
-            "as an after-pass or use the sharded wrapper's XLA path"
+            "texture unless the phase-planar operands already bake the "
+            "offset in (planar_offset_ok=True; see parallel/spatial.py)"
         )
     frame_arr = grain_arr = None
     if epi is not None:

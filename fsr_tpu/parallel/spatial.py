@@ -294,11 +294,6 @@ def upscale_spatial_sharded(
     if _exact_phase((hin, win), (hout, wout), n):
         sy = float(con.scale[1])
         con_loc = _local_constants(con, sy, _HALO)
-        # The fused kernel's grain/dither-page operands are phase-planar;
-        # a row offset of k*hl-1 is not phase-aligned, so those configs run
-        # the XLA path per shard (the TEPD hash epilogue fuses fine — its
-        # coordinates are global via row_offset).
-        kern_epi_ok = epi is None or not (epi.needs_grain or epi.needs_dither_tex)
 
         def local_fn(block, *rest):
             # block: (..., 3, Hl, W) local strip
@@ -310,21 +305,43 @@ def upscale_spatial_sharded(
             # throughput scales the kernel-path number (the RCAS border
             # clamp uses global row coordinates via row_offset, so edge
             # shards stay bit-exact); the XLA path below serves CPU meshes
-            # and f16.
+            # and f16.  The fused grain/dither-page operands are phase-
+            # planar in local coordinates, so the shard offset is baked in
+            # here: grain planarizes from the shard's LOCAL output strip
+            # (its two halo rows are sliced off, so their grain values are
+            # irrelevant — edge replication keeps shapes), and the 128-row
+            # dither page pre-rolls by the shard's global row offset (the
+            # page is periodic, so the kernel's local tile roll composes).
             if (
-                kern_epi_ok
-                and _kernel_path(mesh)
+                _kernel_path(mesh)
                 and fused.supported(padded.shape, (hl_out + 2, wout), con_loc,
                                     dt, out_dtype=out_dtype)
             ):
-                out = fused.upscale_fused(
-                    padded, (hl_out + 2, wout), con_loc, rcon,
-                    apply_rcas=apply_rcas, denoise=denoise, compute_dtype=dt,
-                    row_offset=idx * hl_out - 1, global_rows=hout,
-                    epilogue=epi, frame=fr, prologue=prologue,
-                    out_dtype=out_dtype,
-                )
-                return out[..., 1:-1, :]
+                row_off = idx * hl_out - 1
+                gp_l = None
+                if epi is not None and epi.needs_grain:
+                    g_strip = jnp.concatenate(
+                        [g_l[:, :1], g_l, g_l[:, -1:]], axis=1
+                    )
+                    gp_l = fused.planarize_grain(
+                        g_strip, (hl_out + 2, wout), con_loc
+                    )
+                pg_l = None
+                if epi is not None and epi.needs_dither_tex:
+                    pg_l = jnp.roll(pg, -row_off, axis=0)
+                try:
+                    out = fused.upscale_fused(
+                        padded, (hl_out + 2, wout), con_loc, rcon,
+                        apply_rcas=apply_rcas, denoise=denoise,
+                        compute_dtype=dt,
+                        row_offset=row_off, global_rows=hout,
+                        epilogue=epi, frame=fr, grain_planar=gp_l,
+                        dither_page=pg_l, planar_offset_ok=True,
+                        prologue=prologue, out_dtype=out_dtype,
+                    )
+                    return out[..., 1:-1, :]
+                except fused.DitherTileError:
+                    pass  # narrow output: dither page can't tile; XLA below
 
             padded = decode_in(padded)
             a_l = None
