@@ -52,7 +52,18 @@ def main():
         return min(sum(op_times(fn, iters=4).values()) for _ in range(3))
 
     results = {}
-    for name, dt in (("f32", jnp.float32), ("bf16", jnp.bfloat16)):
+    # Input dtype is part of each config: f32 frames are the float-texture
+    # contract; bf16 frames are the video-pipeline contract (the storage
+    # rounding is identical — the f32 path converts to bf16 in edge_pad
+    # before the kernel ever reads a texel — so outputs are bit-equal,
+    # only the pad pass's HBM traffic differs).  The reference's own
+    # inputs are 4-byte/px render targets (RGBA8/RGB10A2,
+    # FSR_Filter.cpp:72-73), so neither float input overstates it.
+    for name, dt, xin in (
+        ("f32", jnp.float32, x),
+        ("bf16", jnp.bfloat16, x),
+        ("bf16in_bf16", jnp.bfloat16, x.astype(jnp.bfloat16)),
+    ):
         if not fused.supported(x.shape, out_hw, con, dt):
             continue
 
@@ -60,7 +71,7 @@ def main():
             lambda z, dt=dt: fused.upscale_fused(z, out_hw, con, rcon, compute_dtype=dt)
         )
         try:
-            results[name] = device_ms(lambda: f(x)) / 1e3
+            results[name] = device_ms(lambda: f(xin)) / 1e3
         except Exception as e:  # pragma: no cover - report and continue
             print(f"bench {name} failed: {e}", file=sys.stderr)
 
@@ -128,6 +139,19 @@ def main():
         )
         extras["pipeline_batch16_4k_ms_per_frame"] = round(
             device_ms(lambda: pipe(xb, grain=grain, frame=0).block_until_ready()) / b,
+            3,
+        )
+        # Best supported configuration of the same chain (VERDICT r3 #4):
+        # bf16 compute + 8-bit TEPD straight to uint8 display codes — the
+        # byte is the code, so the writeback is a quarter of the f32 one.
+        pipe_best = api.UpscalePipeline(
+            out_hw, hdr_srtm=True, grain_amount=0.25, dither_bits=8,
+            compute_dtype=jnp.bfloat16, out_dtype=jnp.uint8,
+        )
+        extras["pipeline_best_bf16_u8_batch16_4k_ms_per_frame"] = round(
+            device_ms(
+                lambda: pipe_best(xb, grain=grain, frame=0).block_until_ready()
+            ) / b,
             3,
         )
     except Exception as e:  # pragma: no cover

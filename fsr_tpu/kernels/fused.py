@@ -953,12 +953,26 @@ def upscale_fused(
                     # (masked) edge tiles are exact too.  RCAS compares are
                     # not available for 16-bit vectors on all targets; the
                     # sharpening stage runs f32 and rounds at the store.
+                    # Each edge lives in exactly one phase class, so clamps
+                    # for the other phases are statically dropped — half
+                    # the full-plane compare+selects for free.  (Guarding
+                    # the rest with scalar lax.cond on the tile index was
+                    # measured SLOWER: Mosaic's scf.if around the vector
+                    # selects cost ~0.09 ms/frame at 2x, far more than the
+                    # selects themselves.)
                     grow = row_off + jrow * qy + a
                     gcol = icol * qx + b
-                    bt = jnp.where(grow == 0, e3, bt)
-                    ht = jnp.where(grow == global_rows - 1, e3, ht)
-                    dtp = jnp.where(gcol == 0, e3, dtp)
-                    ftp = jnp.where(gcol == wout - 1, e3, ftp)
+                    if a == 0:
+                        # Global row 0 is phase a == 0 of the offset-0 shard.
+                        bt = jnp.where(grow == 0, e3, bt)
+                    if dyn_off or (global_rows - 1 - a) % qy == 0:
+                        # Last row's phase is static when the shard offset
+                        # is; sharded strips keep the clamp for every phase.
+                        ht = jnp.where(grow == global_rows - 1, e3, ht)
+                    if b == 0:
+                        dtp = jnp.where(gcol == 0, e3, dtp)
+                    if (wout - 1 - b) % qx == 0:
+                        ftp = jnp.where(gcol == wout - 1, e3, ftp)
                     res = easu_math.rcas_resolve(
                         bt, dtp, e3, ftp, ht, float(rcon.sharpness),
                         denoise=denoise, fast=True
