@@ -625,14 +625,6 @@ def upscale_fused(
         else:
             ty = pl.program_id(1)
             tx = pl.program_id(2)
-        if ny == 1:
-            row0 = 0
-        else:
-            row0 = pl.multiple_of(ty * tj, 8)
-        if nx == 1:
-            col0 = 0
-        else:
-            col0 = pl.multiple_of(tx * ti, 128)
 
         # Tap extraction uses full-shape rolls on the (tih, tiw) tile (no
         # masked-slice relayouts; wrapped rows/cols land beyond the deepest
@@ -653,24 +645,36 @@ def upscale_fused(
                 r = pltpu.roll(r, (r.shape[ax - 2] - dy) % r.shape[ax - 2], axis=ax - 2)
             return r
 
-        def compute_planes():
+        def tile_dma(step, dslot):
+            """Async copy of tile `step`'s input window into tile[dslot].
+
+            Reconstructed (same arguments) at the start and wait sites —
+            the standard Pallas idiom for split-phase DMA.
+            """
+            t_d = jnp.minimum(step, ntiles - 1)
+            ty_d, tx_d = t_d // nx, t_d % nx
+            r0 = 0 if ny == 1 else pl.multiple_of(ty_d * tj, 8)
+            c0 = 0 if nx == 1 else pl.multiple_of(tx_d * ti, 128)
+            return pltpu.make_async_copy(
+                src_ref.at[bi, :, pl.ds(r0, tih), pl.ds(c0, tiw)],
+                tile.at[dslot],
+                sem.at[dslot],
+            )
+
+        def compute_planes(in_slot=0):
             """EASU phase planes for tile (ty, tx): planes[a][b] is (3, tih, ti)
             f32; plane col i = output plane col, rows [0, tj+2) valid (the
             one-row RCAS halo stays in-plane; rows are padded to tih by the
-            vreg tiling either way)."""
-            dma = pltpu.make_async_copy(
-                src_ref.at[bi, :, pl.ds(row0, tih), pl.ds(col0, tiw)], tile, sem
-            )
-            dma.start()
-            dma.wait()
-
+            vreg tiling either way).  The caller has already DMA'd the input
+            window into tile[in_slot] (double-buffered on the pipelined
+            path so the next tile's fetch overlaps this tile's compute)."""
             # Per-texel precomputation, shared by all phases: luma*2 and the
             # '+'-pattern direction/length response (ffx_fsr1.h:275-313
             # factored per texel; each phase bilinearly blends 4 copies).
             # The tile is upcast to f32 once: every later tap shift and the
             # resolve run f32 (bf16-storage taps would otherwise pay a
             # down+up convert round trip per rolled tap plane).
-            t0 = tile[:, :, :]  # (nc, tih, tiw) stacked
+            t0 = tile[in_slot, :, :, :]  # (nc, tih, tiw) stacked
             if u8_in:
                 # D3D UNORM decode v/255 (Mosaic has no u8<->f32 cast;
                 # int32 is the supported intermediate).
@@ -821,7 +825,10 @@ def upscale_fused(
                     out_ref[0, :, :, :] = x.astype(dt)
 
         if not pipelined:
-            planes = compute_planes()
+            d = tile_dma(ty * nx + tx, 0)
+            d.start()
+            d.wait()
+            planes = compute_planes(0)
             res_ab = [[planes[a][b][:, 1 : 1 + tj, :] for b in range(qx)]
                       for a in range(qy)]
             if epi is not None:
@@ -867,10 +874,21 @@ def upscale_fused(
         slot = jax.lax.rem(sstep, 2)
         pslot = jax.lax.rem(sstep + 1, 2)
 
-        # --- EASU for tile tE (skipped on the drain step).
+        # --- EASU for tile tE (skipped on the drain step).  The input
+        # window is double-buffered: tile tE+1's DMA is issued before tE's
+        # compute so the fetch latency hides behind the resolve math.
         @pl.when(sstep < ntiles)
         def _():
-            planes = compute_planes()
+            @pl.when(sstep == 0)
+            def _():
+                tile_dma(0, 0).start()
+
+            @pl.when(sstep + 1 < ntiles)
+            def _():
+                tile_dma(sstep + 1, pslot).start()
+
+            tile_dma(sstep, slot).wait()
+            planes = compute_planes(slot)
             stacked = jnp.stack(
                 [planes[a][b] for a in range(qy) for b in range(qx)]
             )  # (P, 3, tih, ti)
@@ -962,8 +980,10 @@ def upscale_fused(
                     # selects themselves.)
                     grow = row_off + jrow * qy + a
                     gcol = icol * qx + b
-                    if a == 0:
-                        # Global row 0 is phase a == 0 of the offset-0 shard.
+                    if dyn_off or a == 0:
+                        # Unsharded, global row 0 is phase a == 0; sharded
+                        # strips have a traced (possibly negative) offset
+                        # that shifts the edge's phase, so keep every phase.
                         bt = jnp.where(grow == 0, e3, bt)
                     if dyn_off or (global_rows - 1 - a) % qy == 0:
                         # Last row's phase is static when the shard offset
@@ -1032,7 +1052,9 @@ def upscale_fused(
         operands.append(dith_arr)
     operands = tuple(operands)
 
-    scratch_shapes = [pltpu.VMEM((nc, tih, tiw), jnp.uint8 if u8_in else dt)]
+    scratch_shapes = [
+        pltpu.VMEM((2, nc, tih, tiw), jnp.uint8 if u8_in else dt)
+    ]
     if pipelined:
         # The plane buffer holds EASU output awaiting its RCAS pass.  It
         # stays f32: a bf16 buffer measured only ~0.5% faster and costs 27%
@@ -1042,7 +1064,7 @@ def upscale_fused(
             pltpu.VMEM((qy, 3, tih, rw), jnp.float32),  # ring (left seams)
             pltpu.VMEM((qy, 3, tih, rw), jnp.float32),  # fcol (right seams)
         ]
-    scratch_shapes.append(pltpu.SemaphoreType.DMA(()))
+    scratch_shapes.append(pltpu.SemaphoreType.DMA((2,)))
 
     if pipelined:
         def out_idx(bi, ty, sstep):

@@ -262,6 +262,86 @@ def test_spatial_plus_batch_mesh(rng):
         np.testing.assert_allclose(out[i], _reference(imgs[i], out_hw), atol=1e-6)
 
 
+def test_spatial_sharded_exact_phase_fused_epilogue(rng, monkeypatch):
+    """Exact-phase (2x) sharding with the grain + blue-noise dither
+    epilogue FUSED through the phase-decomposed kernel (the reference
+    fuses TEPD inline regardless of tiling, FSR_Tonemapping.hlsl:86-88):
+    the shard bakes its row offset into the phase-planar operands — grain
+    planarized from the LOCAL halo'd strip, the 128-row dither page
+    pre-rolled by the global row offset (planar_offset_ok) — and must be
+    bit-exact vs the unsharded fused kernel."""
+    from fsr_tpu.kernels import fused
+    from fsr_tpu.kernels.epilogue import Epilogue
+
+    monkeypatch.setattr(fused, "INTERPRET", True)
+    monkeypatch.setattr(spatial, "_kernel_path", lambda mesh: True)
+    mesh = sharding.make_mesh(4, ("sp",))
+    in_hw, out_hw = (64, 128), (128, 256)
+    img = jnp.asarray(rng.uniform(0, 1, (3, *in_hw)).astype(np.float32))
+    grain = jnp.asarray(
+        rng.uniform(-0.5, 0.5, (3, *out_hw)).astype(np.float32)
+    )
+    page = jnp.asarray(rng.uniform(0, 1, (128, 128)).astype(np.float32))
+    epi = Epilogue(grain_amount=0.3, dither_bits=10, dither_texture=True)
+    out = spatial.upscale_spatial_sharded(
+        img, out_hw, mesh, axis="sp", epilogue=epi, frame=2, grain=grain,
+        dither_page=page,
+    )
+    con = EasuConstants.create(
+        (in_hw[1], in_hw[0]), None, (out_hw[1], out_hw[0])
+    )
+    want = fused.upscale_fused(
+        img, out_hw, con, RcasConstants(0.25), epilogue=epi, frame=2,
+        grain_planar=fused.planarize_grain(grain, out_hw, con),
+        dither_page=page,
+    )
+    # The sharded strips compile as different graphs than the unsharded
+    # frame, and XLA's context-dependent FMA contraction moves the RCAS
+    # resolve by ~1 ulp — which at a TEPD quantization tie flips the
+    # output by one code.  Contract: codes within one 1/1023 step
+    # everywhere, ties flipping on < 0.1% of pixels.
+    o, v = np.asarray(out), np.asarray(want)
+    step = np.float32(1.0 / 1023.0)
+    assert np.abs(o - v).max() <= step + 1e-6
+    assert (o != v).mean() < 1e-3
+
+
+def test_spatial_sharded_exact_phase_fused_grain_hash_dither(
+    rng, monkeypatch
+):
+    """Same exact-phase fused-epilogue route with the golden-ratio hash
+    dither (global coordinates via row_offset) and gamma2 transform."""
+    from fsr_tpu.kernels import fused
+    from fsr_tpu.kernels.epilogue import Epilogue
+
+    monkeypatch.setattr(fused, "INTERPRET", True)
+    monkeypatch.setattr(spatial, "_kernel_path", lambda mesh: True)
+    mesh = sharding.make_mesh(4, ("sp",))
+    in_hw, out_hw = (64, 128), (128, 256)
+    img = jnp.asarray(rng.uniform(0, 1, (3, *in_hw)).astype(np.float32))
+    grain = jnp.asarray(
+        rng.uniform(-0.5, 0.5, (3, *out_hw)).astype(np.float32)
+    )
+    epi = Epilogue(transform="gamma2", grain_amount=0.25, dither_bits=8)
+    out = spatial.upscale_spatial_sharded(
+        img, out_hw, mesh, axis="sp", epilogue=epi, frame=7, grain=grain
+    )
+    con = EasuConstants.create(
+        (in_hw[1], in_hw[0]), None, (out_hw[1], out_hw[0])
+    )
+    want = fused.upscale_fused(
+        img, out_hw, con, RcasConstants(0.25), epilogue=epi, frame=7,
+        grain_planar=fused.planarize_grain(grain, out_hw, con),
+    )
+    # Same contract as the texture-dither case: one 1/255 step max
+    # (cross-graph FMA contraction can flip a quantization tie), with
+    # flips on < 0.1% of pixels.
+    o, v = np.asarray(out), np.asarray(want)
+    step = np.float32(1.0 / 255.0)
+    assert np.abs(o - v).max() <= step + 1e-6
+    assert (o != v).mean() < 1e-3
+
+
 def test_spatial_sharded_kernel_path_interpret(rng, monkeypatch):
     """Force the Pallas-kernel-per-shard route (interpret mode) on the CPU
     mesh and check it matches the unsharded reference, including the
