@@ -352,18 +352,13 @@ def easu_resolve(
         a_dy = {dy: oy * qb for dy, oy in off_ys.items()}
         b_dy = {dy: (oy * oy) * qc for dy, oy in off_ys.items()}
         c_dx = {dx: (ox * ox) * qa for dx, ox in off_xs.items()}
-        # Expanded tap weight (kernels only): the two-factor polynomial
-        # (lob*m-1)^2 * (25/16*(2/5*m-1)^2 - 9/16) at m = min(d2, clp)
-        # expands to the quartic k4*m^4 + k3*m^3 + k2*m^2 + k1*m + 1, so
-        # each tap is one Horner chain (4 FMAs) instead of the 5-op
-        # factored form; the 7-op coefficient precompute is shared by all
-        # 12 taps.  Absolute reassociation error ~1e-6, inside the fast
-        # path's existing ~ulp contract.
-        lob_sq = lob * lob
-        k4 = c(0.25) * lob_sq
-        k3 = c(-1.25) * lob_sq - c(0.5) * lob
-        k2 = lob_sq + (c(2.5) * lob + c(0.25))
-        k1 = c(-2.0) * lob + c(-1.25)
+        # NOTE (round 4): expanding the two-factor tap weight into one
+        # 4-FMA Horner quartic was tried and REVERTED — (lob*m-1)^2 is
+        # near-cancelling at the clip point, so the expansion raised the
+        # f32 kernel's max-abs vs the oracle from ~1e-6 to ~8e-6, which
+        # quadrupled TEPD knife-edge flips and tripped the hardware
+        # fidelity sweep, for only ~10 us at 4K.  The factored form below
+        # is the keeper.
 
     def accumulate_taps(names):
         if stacked:
@@ -399,17 +394,17 @@ def easu_resolve(
                         ac[i] = ac[i] + taps[name][i].astype(dt) * w
                 aw = aw + w
                 continue
+            d2 = jnp.minimum(d2, clp)
+            w_a = lob * d2 + c(-1.0)
+            w_a = w_a * w_a
             if fast:
-                m = jnp.minimum(d2, clp)
-                w = (((k4 * m + k3) * m + k2) * m + k1) * m + c(1.0)
+                # Horner form of 25/16*(2/5*d2-1)^2 - 9/16 (one op fewer).
+                w_b = (c(0.25) * d2 + c(-1.25)) * d2 + c(1.0)
             else:
-                d2 = jnp.minimum(d2, clp)
-                w_a = lob * d2 + c(-1.0)
-                w_a = w_a * w_a
                 w_b = c(2.0 / 5.0) * d2 + c(-1.0)
                 w_b = w_b * w_b
                 w_b = c(25.0 / 16.0) * w_b + c(-(25.0 / 16.0 - 1.0))
-                w = w_b * w_a
+            w = w_b * w_a
             if stacked:
                 ac = ac + taps[name].astype(dt) * w[None]
             else:

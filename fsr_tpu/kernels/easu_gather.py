@@ -788,7 +788,24 @@ def easu_gather(
                 lo = r - mid.astype(jnp.float32)
                 return hi, mid, lo
 
-            if mm_dt == jnp.float32:
+            if _ABL == "noselrow":
+                # Timing stub (tools/ablation/gather_ablation.py): row
+                # selection replaced by a tj_e-row broadcast of the data
+                # (WRONG output; measures the row-matmul share on the
+                # hybrid path too, where the col-gather selr stub below
+                # is not reached).
+                def sel_cols(data, onehot):
+                    return bf16_dot(
+                        data.astype(jnp.bfloat16),
+                        onehot.astype(jnp.bfloat16),
+                    ) if mm_dt != jnp.float32 else sum(
+                        bf16_dot(p, onehot) for p in split3(data))
+
+                def sel_rows(onehot, data):
+                    reps = -(-tj_e // data.shape[0])
+                    return jnp.concatenate(
+                        [data.astype(jnp.float32)] * reps, axis=0)[:tj_e]
+            elif mm_dt == jnp.float32:
                 def sel_cols(data_f32, onehot):
                     parts = split3(data_f32)
                     return sum(bf16_dot(p, onehot) for p in parts)
