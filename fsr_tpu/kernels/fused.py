@@ -449,6 +449,13 @@ def upscale_fused(
     if tiles is None:
         raise ValueError("no valid tile plan for this size (use impl='xla')")
     tj, ti = tiles
+    if (epilogue is not None and epilogue.needs_grain and u8_out
+            and tj > 32 and hpl >= 32):
+        # The phase-planar grain block (n_phases, 3, tj, ti) f32 is
+        # double-buffered by the pipeline; at the u8 path's tj=48 it
+        # pushes the kernel past Mosaic's 16M scoped-vmem limit at 4K.
+        # tj=32 keeps the 32-row u8 store granule and fits.
+        tj = 32
     ny, nx = pl.cdiv(hpl, tj), pl.cdiv(wpl, ti)
     # pack_bf16 (set above): TPU memory pairs consecutive *rows* of a bf16
     # array in one 32-bit word, so packing two row phases per int32 (see

@@ -17,6 +17,11 @@ _ROOT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "..")
 
 MODES = [
     ("", "full kernel (baseline)"),
+    # NOTE: "noroll" OOMs Mosaic's 16M scoped vmem at the round-3 wide
+    # tile plans (removing the rolls extends the full-width window
+    # planes' live ranges across the whole block loop).  Kept for
+    # narrower custom sizes; the roll share at the preset sizes is the
+    # nogather-vs-noroll delta from the r2 logs (~0.07 ms).
     ("noroll", "alignment rolls removed (and gathers degenerate)"),
     ("nogather", "within-vreg tap gathers removed (rolls kept)"),
     ("noselrow", "row-selection matmuls replaced by broadcast"),
