@@ -62,6 +62,10 @@ from fsr_tpu.ops.easu import easu_coords
 # Flipped to True by tests to run the kernel in interpreter mode on CPU.
 INTERPRET = False
 
+# In-kernel pad mode master switch (see `inkernel_pad` in upscale_fused).
+# Tests flip this off to bit-compare against the edge_pad path.
+INKERNEL_PAD = True
+
 _QX_SUPPORTED = (1, 2, 4)
 _QY_SUPPORTED = (1, 2, 4)
 
@@ -132,26 +136,35 @@ def supported(in_shape, out_size, con: EasuConstants, compute_dtype,
 
 
 def _pick_tiles(hpl: int, wpl: int, qy: int, qx: int, pack: bool = False,
-                out8: bool = False, out16: bool = False):
+                out8: bool = False, out16: bool = False, rcas: bool = True):
     """Plane-space tile sizes (TJ rows, TI cols per phase), or None.
 
     Column extents must be powers of two (butterfly riffle); rows too on
-    the f32 path (row riffle), but the bf16 pack path (pack=True) has no
-    row riffle, so tj only needs the 8-row DMA/block granule — tj=40 was
+    the f32 path (row riffle) AND on qy=4 pack paths (the second pack
+    level riffles packed rows), but the qy=2 pack path has no row
+    riffle, so tj only needs the 8-row DMA/block granule — tj=40 was
     the on-device sweep winner there (56 OOMs VMEM; 32 wastes 25% of the
     row window).  The output block (qy*tj, qx*ti) must satisfy Pallas's
     block rule: last dim divisible by 128 (or equal to the full width),
     second-to-last divisible by 8 (or equal to the full height) — 32 for
     8-bit outputs (out8), whose sublane granule is 32 rows.
+
+    With RCAS fused (rcas=True), the pipelined plane buffer is
+    (2, qy*qx, 3, tih, ti) f32; at 16 phases (4x) and ti=512 that alone
+    is ~16-19 MB — past Mosaic's 16 MB scoped-vmem limit (measured OOM
+    at 4K).  4x therefore caps ti at 256 (compiles and matches the
+    oracle on hardware).
     """
 
     def pow2(v):
         return v > 0 and (v & (v - 1)) == 0
 
     ti = 512
+    if rcas and qy * qx >= 16:
+        ti = 256
     while ti > wpl and ti > 1:
         ti //= 2
-    if pack:
+    if pack and qy == 2:
         tj = 48 if out8 else 40  # u8 blocks need a 32-row granule
         while tj > hpl and tj > 8:
             tj -= 8
@@ -444,7 +457,7 @@ def upscale_fused(
     pack_codes16 = assemble == "kernel" and u16_out and qy in (2, 4)
     tiles = _pick_tiles(
         hpl, wpl, qy, qx, pack=pack_bf16 or pack_codes or pack_codes16,
-        out8=u8_out, out16=u16_out,
+        out8=u8_out, out16=u16_out, rcas=apply_rcas,
     )
     if tiles is None:
         raise ValueError("no valid tile plan for this size (use impl='xla')")
@@ -483,7 +496,44 @@ def upscale_fused(
     pad_bottom = max(0, (ny - 1) * tj + tih - (hin - crop_top + pad_top))
     pad_right = max(0, (nx - 1) * ti + tiw - (win - crop_left + pad_left))
 
-    if u8_in:
+    # --- In-kernel pad mode: DMA straight from the UNPADDED image with
+    # clamped 8/128-aligned windows, eliminating the edge_pad pass
+    # (~0.04-0.06 ms/4K frame of pure HBM traffic) when the image is
+    # already in the storage dtype.  Interior tiles read their data
+    # through one static-offset slice of the fetched window (a single
+    # relayout pass); only the first/last tile row/column realign +
+    # edge-replicate in VMEM under pl.when.  Bit-identical to the
+    # edge-padded path: the window covers exactly the rows/cols the
+    # padded source held, with CLAMP-sampler replication at the borders.
+    wr, wc = tih + 8, tiw + 128
+    delta_r = (-lead_y) // 8 * 8        # ar_ideal(t) = t*tj + delta_r
+    delta_c = (-lead_x) // 128 * 128
+    phi_r = -lead_y - delta_r           # static window offset in [0, 8)
+    phi_c = -lead_x - delta_c           # static window offset in [0, 128)
+    inkernel_pad = (
+        INKERNEL_PAD
+        and not u8_in
+        and image.dtype == dt
+        and hin % 8 == 0 and win % 128 == 0
+        and hin >= wr and win >= wc
+        and tj % 8 == 0 and ti % 128 == 0
+    )
+    # Only the first/last tile row/column may hit the window clamp (the
+    # fix-up branches are keyed on those tile indices).
+    if inkernel_pad and ny > 2:
+        if tj + delta_r < 0 or (ny - 2) * tj + delta_r > hin - wr:
+            inkernel_pad = False
+    if inkernel_pad and nx > 2:
+        if ti + delta_c < 0 or (nx - 2) * ti + delta_c > win - wc:
+            inkernel_pad = False
+    need_top_fix = inkernel_pad and delta_r < 0
+    need_bot_fix = inkernel_pad and (ny - 1) * tj + delta_r > hin - wr
+    need_left_fix = inkernel_pad and delta_c < 0
+    need_right_fix = inkernel_pad and (nx - 1) * ti + delta_c > win - wc
+
+    if inkernel_pad:
+        src = image
+    elif u8_in:
         # Bytes end-to-end: the padded source and tile DMAs stay uint8
         # (4x less HBM than f32); the v/255 decode happens per tile
         # in-kernel.  jnp.pad on bytes is cheap (quarter the traffic of
@@ -660,6 +710,18 @@ def upscale_fused(
             """
             t_d = jnp.minimum(step, ntiles - 1)
             ty_d, tx_d = t_d // nx, t_d % nx
+            if inkernel_pad:
+                r0 = pl.multiple_of(
+                    jnp.clip(ty_d * tj + delta_r, 0, hin - wr), 8
+                )
+                c0 = pl.multiple_of(
+                    jnp.clip(tx_d * ti + delta_c, 0, win - wc), 128
+                )
+                return pltpu.make_async_copy(
+                    src_ref.at[bi, :, pl.ds(r0, wr), pl.ds(c0, wc)],
+                    tile.at[dslot],
+                    sem.at[dslot],
+                )
             r0 = 0 if ny == 1 else pl.multiple_of(ty_d * tj, 8)
             c0 = 0 if nx == 1 else pl.multiple_of(tx_d * ti, 128)
             return pltpu.make_async_copy(
@@ -668,20 +730,77 @@ def upscale_fused(
                 sem.at[dslot],
             )
 
-        def compute_planes(in_slot=0):
+        def compute_planes(in_slot=0, ty_t=0, tx_t=0):
             """EASU phase planes for tile (ty, tx): planes[a][b] is (3, tih, ti)
             f32; plane col i = output plane col, rows [0, tj+2) valid (the
             one-row RCAS halo stays in-plane; rows are padded to tih by the
             vreg tiling either way).  The caller has already DMA'd the input
             window into tile[in_slot] (double-buffered on the pipelined
             path so the next tile's fetch overlaps this tile's compute)."""
+            if inkernel_pad and (need_top_fix or need_bot_fix):
+                # Edge tile rows: realign the clamped window to the ideal
+                # start (one dynamic sublane roll) and CLAMP-replicate
+                # rows outside the image.  Interior tiles skip this (the
+                # static phi_r slice below is their whole realignment).
+                ari = ty_t * tj + delta_r
+                pred = jnp.bool_(False)
+                if need_top_fix:
+                    pred = pred | (ty_t == 0)
+                if need_bot_fix:
+                    pred = pred | (ty_t == ny - 1)
+
+                @pl.when(pred)
+                def _():
+                    x = tile[in_slot, :, :, :]
+                    if jnp.dtype(x.dtype).itemsize < 4:
+                        x = x.astype(jnp.float32)
+                    top_b = x[:, 0:1, :]       # src row 0 when low-clamped
+                    bot_b = x[:, wr - 1:wr, :]  # src row hin-1 when high-clamped
+                    u_r = ari - jnp.clip(ari, 0, hin - wr)
+                    x = pltpu.roll(x, jnp.remainder(-u_r, wr), axis=1)
+                    p = jax.lax.broadcasted_iota(jnp.int32, (1, wr, 1), 1)
+                    if need_top_fix:
+                        x = jnp.where(ari + p < 0, top_b, x)
+                    if need_bot_fix:
+                        x = jnp.where(ari + p > hin - 1, bot_b, x)
+                    tile[in_slot, :, :, :] = x.astype(dt)
+            if inkernel_pad and (need_left_fix or need_right_fix):
+                aci = tx_t * ti + delta_c
+                pred = jnp.bool_(False)
+                if need_left_fix:
+                    pred = pred | (tx_t == 0)
+                if need_right_fix:
+                    pred = pred | (tx_t == nx - 1)
+
+                @pl.when(pred)
+                def _():
+                    x = tile[in_slot, :, :, :]
+                    if jnp.dtype(x.dtype).itemsize < 4:
+                        x = x.astype(jnp.float32)
+                    left_b = x[:, :, 0:1]
+                    right_b = x[:, :, wc - 1:wc]
+                    u_c = aci - jnp.clip(aci, 0, win - wc)
+                    x = pltpu.roll(x, jnp.remainder(-u_c, wc), axis=2)
+                    q = jax.lax.broadcasted_iota(jnp.int32, (1, 1, wc), 2)
+                    if need_left_fix:
+                        x = jnp.where(aci + q < 0, left_b, x)
+                    if need_right_fix:
+                        x = jnp.where(aci + q > win - 1, right_b, x)
+                    tile[in_slot, :, :, :] = x.astype(dt)
+
             # Per-texel precomputation, shared by all phases: luma*2 and the
             # '+'-pattern direction/length response (ffx_fsr1.h:275-313
             # factored per texel; each phase bilinearly blends 4 copies).
             # The tile is upcast to f32 once: every later tap shift and the
             # resolve run f32 (bf16-storage taps would otherwise pay a
             # down+up convert round trip per rolled tap plane).
-            t0 = tile[in_slot, :, :, :]  # (nc, tih, tiw) stacked
+            if inkernel_pad:
+                # Static-offset slice realigns the aligned window to the
+                # padded-coordinate frame the tap shifts assume (tile row
+                # p of the slice = source row t*tj - lead_y + p).
+                t0 = tile[in_slot, :, phi_r:phi_r + tih, phi_c:phi_c + tiw]
+            else:
+                t0 = tile[in_slot, :, :, :]  # (nc, tih, tiw) stacked
             if u8_in:
                 # D3D UNORM decode v/255 (Mosaic has no u8<->f32 cast;
                 # int32 is the supported intermediate).
@@ -835,7 +954,7 @@ def upscale_fused(
             d = tile_dma(ty * nx + tx, 0)
             d.start()
             d.wait()
-            planes = compute_planes(0)
+            planes = compute_planes(0, ty, tx)
             res_ab = [[planes[a][b][:, 1 : 1 + tj, :] for b in range(qx)]
                       for a in range(qy)]
             if epi is not None:
@@ -895,7 +1014,7 @@ def upscale_fused(
                 tile_dma(sstep + 1, pslot).start()
 
             tile_dma(sstep, slot).wait()
-            planes = compute_planes(slot)
+            planes = compute_planes(slot, ty, tx)
             stacked = jnp.stack(
                 [planes[a][b] for a in range(qy) for b in range(qx)]
             )  # (P, 3, tih, ti)
@@ -1060,7 +1179,10 @@ def upscale_fused(
     operands = tuple(operands)
 
     scratch_shapes = [
-        pltpu.VMEM((2, nc, tih, tiw), jnp.uint8 if u8_in else dt)
+        pltpu.VMEM(
+            (2, nc, wr, wc) if inkernel_pad else (2, nc, tih, tiw),
+            jnp.uint8 if u8_in else dt,
+        )
     ]
     if pipelined:
         # The plane buffer holds EASU output awaiting its RCAS pass.  It

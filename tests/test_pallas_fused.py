@@ -53,6 +53,41 @@ def test_fused_matches_xla_2x(rng, in_hw, out_hw):
     np.testing.assert_allclose(got, want, atol=6e-5, rtol=0)
 
 
+@pytest.mark.parametrize(
+    "in_hw,out_hw,dt",
+    [
+        ((64, 384), (128, 768), jnp.float32),   # gate-qualifying 2x
+        ((64, 384), (256, 1536), jnp.float32),  # 4x (both clamps + masks)
+        ((72, 384), (144, 768), jnp.float32),   # odd tile counts
+        ((64, 384), (128, 768), jnp.bfloat16),  # bf16 frames in
+    ],
+)
+def test_fused_inkernel_pad_bit_equal(rng, in_hw, out_hw, dt):
+    """In-kernel pad mode (clamped aligned windows + border fix-ups, no
+    edge_pad pass) is bit-identical to the edge-padded path.  Sizes are
+    chosen to hit the 8-row/128-lane gate (8 | hin, 128 | win)."""
+    img = jnp.asarray(rng.uniform(0, 1, (3, *in_hw)).astype(np.float32))
+    if dt == jnp.bfloat16:
+        img = img.astype(jnp.bfloat16)
+    con = _con(in_hw, out_hw)
+    rcon = RcasConstants(0.25)
+    assert fused.INKERNEL_PAD
+    try:
+        fused.upscale_fused.clear_cache()
+        got = np.asarray(
+            fused.upscale_fused(img, out_hw, con, rcon, compute_dtype=dt)
+        )
+        fused.INKERNEL_PAD = False
+        fused.upscale_fused.clear_cache()
+        want = np.asarray(
+            fused.upscale_fused(img, out_hw, con, rcon, compute_dtype=dt)
+        )
+    finally:
+        fused.INKERNEL_PAD = True
+        fused.upscale_fused.clear_cache()
+    assert np.array_equal(got, want)
+
+
 def test_fused_4x(rng):
     # qx = qy = 4 (exact binary scale): 4-way riffle assembly.
     in_hw, out_hw = (32, 64), (128, 256)
@@ -65,6 +100,37 @@ def test_fused_4x(rng):
     got = np.asarray(fused.upscale_fused(jnp.asarray(img), out_hw, con, rcon))
     want = _xla(img, out_hw, con, rcon)
     np.testing.assert_allclose(got, want, atol=6e-5, rtol=0)
+
+
+def test_fused_4x_pack_paths_tall(rng):
+    """4x pack assemblies at hpl > 40 (tall planes pick the pack tj, which
+    at qy=4 must be a power of two — the second pack level riffles packed
+    rows).  Covers the tile plan the old tj=40/48 pick broke at 4K, and
+    the RCAS-fused ti<=256 VMEM cap (4x plane scratch OOMs at ti=512 on
+    hardware)."""
+    in_hw, out_hw = (48, 128), (192, 512)  # hpl=48 > 40
+    img = rng.uniform(0, 1, (3, *in_hw)).astype(np.float32)
+    con, rcon = _con(in_hw, out_hw), RcasConstants(0.25)
+    tj, ti = fused._pick_tiles(48, 128, 4, 4, pack=True)
+    assert tj & (tj - 1) == 0 and ti <= 256
+    # bf16 row-pack: bit-equal to the same compute with XLA assembly.
+    bimg = jnp.asarray(img, jnp.bfloat16)
+    got = np.asarray(fused.upscale_fused(
+        bimg, out_hw, con, rcon, compute_dtype=jnp.bfloat16))
+    want = np.asarray(fused.upscale_fused(
+        bimg, out_hw, con, rcon, compute_dtype=jnp.bfloat16,
+        assemble="xla"))
+    assert np.array_equal(got, want)
+    # u8 codes (pack_codes): exact vs host-encoded float output.
+    from fsr_tpu.utils import image as im
+    base = np.asarray(fused.upscale_fused(jnp.asarray(img), out_hw, con, rcon))
+    got8 = np.asarray(fused.upscale_fused(
+        jnp.asarray(img), out_hw, con, rcon, out_dtype=jnp.uint8))
+    np.testing.assert_array_equal(got8, im.to_uint8(base))
+    # u16 10-bit codes (pack_codes16).
+    got16 = np.asarray(fused.upscale_fused(
+        jnp.asarray(img), out_hw, con, rcon, out_dtype=jnp.uint16))
+    np.testing.assert_array_equal(got16, im.to_uint10(base))
 
 
 def test_fused_easu_only(rng):
