@@ -71,6 +71,10 @@ from fsr_tpu.kernels.pad import edge_pad, kernel_path_ok
 from fsr_tpu.ops.easu import easu_coords
 
 INTERPRET = False
+# In-kernel pad mode (mirrors kernels/fused.py): DMA straight from the
+# UNPADDED image with clamped aligned windows, eliminating the pad/convert
+# pass.  Module-level so tests can A/B against the padded path.
+INKERNEL_PAD = True
 
 import os
 # Timing-ablation hook driven by tools/ablation/gather_ablation.py: stubs
@@ -400,6 +404,49 @@ def easu_gather(
     tj_e = -(-(tj + 2) // 8) * 8 if apply_rcas else tj
     nsteps = nx + 1 if apply_rcas else nx
 
+    # --- In-kernel pad mode (mirrors kernels/fused.py): DMA straight from
+    # the UNPADDED image with clamped aligned windows, eliminating the
+    # pad/convert pass (a full-frame HBM round trip).  The host plans are
+    # built directly in RAW image coordinates (pad_lead=0), so interior
+    # tiles run byte-identically to the padded path (same window sizes,
+    # locals, and selection operands — no realignment slice); window
+    # STARTS may leave [0, hin-tih]/[0, win-tiw] at the image borders,
+    # where the fetch clamps and the affected tiles (a prefix/suffix of
+    # tile indices — starts are monotone) realign with one dynamic roll +
+    # CLAMP-replicate the border rows/cols in VMEM, bit-identical to edge
+    # padding.  Works for every column-selection mode (the fix rewrites
+    # the raw tile before any deinterleave/gather/matmul, so tile-local
+    # plan invariants — e.g. the hybrid mode's tile-invariant lfx0 — are
+    # preserved); requires aligned image extents and storage-dtype input
+    # (no fused convert to ride the pad pass).
+    ik_want = (
+        INKERNEL_PAD
+        and row_plan is None
+        and not u8_in
+        and image.dtype == dt
+        and hin % 8 == 0 and win % 128 == 0
+    )
+
+    def _plan_axes(raw):
+        pt = 0 if raw else max(0, 2 - int(fy[0]))
+        pl_ = 0 if raw else max(0, 2 - int(fx[0]))
+        rp = _axis_plan(fy, hout, tj, pt, 8, lead=rhalo, ext=tj_e)
+        cp = _axis_plan(fx, wout, ti, pl_, 128)
+        return pt, pl_, rp, cp
+
+    def _xp_adjust(xp_in, lfx, tiw):
+        """Hybrid mode needs a tile-invariant window-relative tap base."""
+        if xp_in is None:
+            return None, None, None, tiw
+        lfx0 = [int(lfx[0, b]) for b in range(qx_h)]
+        for t in range(nx):
+            for b in range(qx_h):
+                if t * ti + b < wout and int(lfx[t, b]) != lfx0[b]:
+                    return None, None, None, tiw
+        m0max = (max(lfx0) + 2) // stride_h + 1
+        tiw = max(tiw, -(-(stride_h * (128 + m0max) + stride_h) // 128) * 128)
+        return xp_in, lfx0, m0max, tiw
+
     if row_plan is not None:
         if row_meta is None:
             raise ValueError("row_plan requires row_meta")
@@ -414,36 +461,51 @@ def easu_gather(
                 f"{(ny, 4 * tj_e, tih)} — was the plan built with the same "
                 f"out_size/apply_rcas?"
             )
+        pad_left = max(0, 2 - int(fx[0]))
+        col_starts, lfx, tiw = _axis_plan(fx, wout, ti, pad_left, 128)
+        xp, lfx0, m0max, tiw = _xp_adjust(xp, lfx, tiw)
+        ikpad = False
     else:
-        pad_top = max(0, 2 - int(fy[0]))
-        row_starts, lfy, tih = _axis_plan(fy, hout, tj, pad_top, 8,
-                                          lead=rhalo, ext=tj_e)
-    pad_left = max(0, 2 - int(fx[0]))
-    col_starts, lfx, tiw = _axis_plan(fx, wout, ti, pad_left, 128)
-
-    if xp is not None:
-        # Window-relative plane-col-0 tap base per phase; must be
-        # tile-invariant (linear coordinates + linear window starts).
-        lfx0 = [int(lfx[0, b]) for b in range(qx_h)]
-        for t in range(nx):
-            for b in range(qx_h):
-                if t * ti + b < wout and int(lfx[t, b]) != lfx0[b]:
-                    xp = None
-        if xp is not None:
-            m0max = (max(lfx0) + 2) // stride_h + 1
-            tiw = max(tiw, -(-(stride_h * (128 + m0max) + stride_h) // 128) * 128)
-    if row_plan is not None:
+        pad_top, pad_left, (row_starts, lfy, tih), (col_starts, lfx, tiw) = (
+            _plan_axes(raw=ik_want)
+        )
+        xp, lfx0, m0max, tiw = _xp_adjust(xp, lfx, tiw)
+        # Windows must fit inside the raw image for the clamped fetch;
+        # otherwise rebuild the padded-coordinate plans.
+        ikpad = ik_want and tih <= hin and tiw <= win
+        if ik_want and not ikpad:
+            pad_top, pad_left, (row_starts, lfy, tih), \
+                (col_starts, lfx, tiw) = _plan_axes(raw=False)
+            xp2 = _detect_x_phase(fx, wout)
+            if xp2 is not None and wout >= 128 * xp2[0]:
+                xp = xp2
+            xp, lfx0, m0max, tiw = _xp_adjust(xp, lfx, tiw)
+    if row_plan is not None or ikpad:
         pad_bottom = 0
     else:
         pad_bottom = max(0, int(row_starts.max()) + tih - (hin + pad_top))
-    pad_right = max(0, int(col_starts.max()) + tiw - (win + pad_left))
+    pad_right = (0 if ikpad else
+                 max(0, int(col_starts.max()) + tiw - (win + pad_left)))
+
+    ik_top0 = ik_lft0 = 0   # tiles 0..n-1 low-clamp (prefix counts)
+    ik_bot0, ik_rgt0 = ny, nx  # first tile index that high-clamps (suffix)
+    if ikpad:
+        rsv = np.asarray(row_starts, np.int64)
+        csv = np.asarray(col_starts, np.int64)
+        ik_top0 = int(np.searchsorted(rsv, 0, side="left"))
+        ik_lft0 = int(np.searchsorted(csv, 0, side="left"))
+        ik_bot0 = int(np.searchsorted(rsv, hin - tih, side="right"))
+        ik_rgt0 = int(np.searchsorted(csv, win - tiw, side="right"))
 
     # Input prep: one pass over the image, edge-replicated + converted.
     # When the Pallas pad kernel can't window the shape (unaligned extents
     # — e.g. the 1.3x/1.7x preset render sizes), pad with ZEROS instead
     # (a single XLA pad+convert fusion, vs jnp.pad(edge)'s two concat
     # passes) and replicate the borders in-kernel per tile (`fix` below).
-    if u8_in:
+    if ikpad:
+        src = image
+        fix = None
+    elif u8_in:
         # Bytes end-to-end: edge replication on uint8 is plain (cheap)
         # concat padding; the v/255 decode happens per tile in-kernel.
         src = jnp.pad(
@@ -694,12 +756,73 @@ def easu_gather(
             return pltpu.roll(arr, k % arr.shape[axis], axis=axis)
 
         def easu_tile():
+            if ikpad:
+                # Raw-coordinate plan: starts may reach past the image at
+                # the borders; the fetch clamps and the border tiles below
+                # recreate the unclamped-window view in VMEM.
+                r0 = pl.multiple_of(jnp.clip(rstart, 0, hin - tih), 8)
+                c0 = pl.multiple_of(jnp.clip(cstart, 0, win - tiw), 128)
+            else:
+                r0, c0 = rstart, cstart
             dma = pltpu.make_async_copy(
-                src_ref.at[bi, :, pl.ds(rstart, tih), pl.ds(cstart, tiw)],
+                src_ref.at[bi, :, pl.ds(r0, tih), pl.ds(c0, tiw)],
                 tile, sem,
             )
             dma.start()
             dma.wait()
+
+            def dyn_roll(x, k, axis):
+                """result[i] = x[i + k] for a traced shift k (wrap)."""
+                if INTERPRET:
+                    return jnp.roll(x, -k, axis=axis)
+                return pltpu.roll(
+                    x, jnp.remainder(-k, x.shape[axis]), axis=axis)
+
+            wide = jnp.dtype(dt).itemsize < 4
+            if ikpad and (ik_top0 > 0 or ik_bot0 < ny):
+                pred = jnp.bool_(False)
+                if ik_top0 > 0:
+                    pred = pred | (ty < ik_top0)
+                if ik_bot0 < ny:
+                    pred = pred | (ty >= ik_bot0)
+
+                @pl.when(pred)
+                def _():
+                    x = tile[:, :, :]
+                    if wide:
+                        x = x.astype(jnp.float32)
+                    top_b = x[:, 0:1, :]          # raw row 0 when low-clamped
+                    bot_b = x[:, tih - 1:tih, :]  # raw row hin-1 when high-clamped
+                    u_r = rstart - jnp.clip(rstart, 0, hin - tih)
+                    x = dyn_roll(x, u_r, 1)
+                    p = jax.lax.broadcasted_iota(jnp.int32, (1, tih, 1), 1)
+                    if ik_top0 > 0:
+                        x = jnp.where(rstart + p < 0, top_b, x)
+                    if ik_bot0 < ny:
+                        x = jnp.where(rstart + p > hin - 1, bot_b, x)
+                    tile[:, :, :] = x.astype(dt) if wide else x
+            if ikpad and (ik_lft0 > 0 or ik_rgt0 < nx):
+                pred = jnp.bool_(False)
+                if ik_lft0 > 0:
+                    pred = pred | (txc < ik_lft0)
+                if ik_rgt0 < nx:
+                    pred = pred | (txc >= ik_rgt0)
+
+                @pl.when(pred)
+                def _():
+                    x = tile[:, :, :]
+                    if wide:
+                        x = x.astype(jnp.float32)
+                    left_b = x[:, :, 0:1]
+                    right_b = x[:, :, tiw - 1:tiw]
+                    u_c = cstart - jnp.clip(cstart, 0, win - tiw)
+                    x = dyn_roll(x, u_c, 2)
+                    q = jax.lax.broadcasted_iota(jnp.int32, (1, 1, tiw), 2)
+                    if ik_lft0 > 0:
+                        x = jnp.where(cstart + q < 0, left_b, x)
+                    if ik_rgt0 < nx:
+                        x = jnp.where(cstart + q > win - 1, right_b, x)
+                    tile[:, :, :] = x.astype(dt) if wide else x
 
             if fix is not None:
                 # Zero-padded source: replicate the image borders in-VMEM
@@ -1105,9 +1228,10 @@ def easu_gather(
         )[:, :, :128]
         e_prev[:, :, :] = e_cur[:, :, :]
 
+    tile_shape = (nc, tih, tiw)
     if apply_rcas:
         scratch_shapes = [
-            pltpu.VMEM((nc, tih, tiw), jnp.uint8 if u8_in else dt),
+            pltpu.VMEM(tile_shape, jnp.uint8 if u8_in else dt),
             pltpu.VMEM((nc, tj_e, ti), jnp.float32),
             pltpu.VMEM((nc, tj_e, ti), jnp.float32),
             pltpu.VMEM((3, tj_e, 128), jnp.float32),
@@ -1116,7 +1240,7 @@ def easu_gather(
         out_index = lambda bi, ty, tx, *_: (bi, 0, ty, jnp.maximum(tx - 1, 0))
     else:
         scratch_shapes = [
-            pltpu.VMEM((nc, tih, tiw), jnp.uint8 if u8_in else dt),
+            pltpu.VMEM(tile_shape, jnp.uint8 if u8_in else dt),
             pltpu.SemaphoreType.DMA(()),
         ]
         out_index = lambda bi, ty, tx, *_: (bi, 0, ty, tx)
