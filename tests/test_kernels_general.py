@@ -237,3 +237,85 @@ def test_ablation_hook_requires_opt_in():
     r = subprocess.run([sys.executable, "-c", code], capture_output=True,
                        text=True, env=env, cwd="/root/repo", timeout=300)
     assert r.returncode == 0, r.stderr
+
+
+# --- In-kernel pad mode (clamped aligned windows, no edge-pad pass) ---
+#
+# Mirrors tests/test_pallas_fused.py::test_fused_inkernel_pad_bit_equal for
+# the general-ratio kernel: the raw-coordinate plan + in-VMEM border
+# realignment must be BIT-identical to the padded-coordinate plan (it
+# reimplements the CLAMP sampler rule, FSR_Filter.cpp:49-50).  Geometries
+# hit every column-selection mode (hybrid X-phase, col-gather) plus ragged
+# tiles and both border-clamp fix-ups (probed: each case low- and
+# high-clamps at least one tile per axis).
+
+def _gather_ab_inkernel_pad(img, out_hw, con, rcon=None, apply_rcas=False,
+                            compute_dtype=jnp.float32):
+    import jax
+    assert easu_gather.INKERNEL_PAD
+    kw = dict(apply_rcas=apply_rcas, compute_dtype=compute_dtype)
+    if rcon is not None:
+        kw["rcon"] = rcon
+    try:
+        jax.clear_caches()
+        got = np.asarray(easu_gather.easu_gather(img, out_hw, con, **kw))
+        easu_gather.INKERNEL_PAD = False
+        jax.clear_caches()
+        want = np.asarray(easu_gather.easu_gather(img, out_hw, con, **kw))
+    finally:
+        easu_gather.INKERNEL_PAD = True
+        jax.clear_caches()
+    return got, want
+
+
+@pytest.mark.parametrize(
+    "in_hw,out_hw,dt,rcas",
+    [
+        ((64, 512), (96, 768), jnp.float32, True),    # 1.5x hybrid X-phase
+        ((64, 640), (80, 768), jnp.float32, True),    # 1.2x col-gather path
+        ((72, 512), (108, 768), jnp.float32, True),   # hybrid, ragged rows
+        ((64, 512), (96, 768), jnp.bfloat16, True),   # bf16 frames in
+        ((64, 512), (96, 768), jnp.float32, False),   # EASU-only tile plan
+    ],
+)
+def test_gather_inkernel_pad_bit_equal(rng, in_hw, out_hw, dt, rcas):
+    img = jnp.asarray(rng.uniform(0, 1, (3, *in_hw)).astype(np.float32))
+    if dt == jnp.bfloat16:
+        img = img.astype(jnp.bfloat16)
+    con = _con(in_hw, out_hw)
+    got, want = _gather_ab_inkernel_pad(
+        img, out_hw, con, rcon=RcasConstants(0.25) if rcas else None,
+        apply_rcas=rcas, compute_dtype=dt,
+    )
+    assert np.array_equal(got, want)
+
+
+def test_gather_inkernel_pad_fallback_replan(rng):
+    """Aligned extents but the tile window exceeds the raw image (tiw >
+    win): ik_want holds yet ikpad must be abandoned and the padded plan
+    rebuilt (incl. re-detecting the hybrid X-phase against the padded
+    coordinates).  Output must match the XLA path."""
+    in_hw, out_hw = (48, 128), (64, 256)
+    hin, win = in_hw
+    con = _con(in_hw, out_hw)
+    # Geometry really is the fallback case: aligned gate passes, window
+    # doesn't fit raw.
+    assert hin % 8 == 0 and win % 128 == 0
+    from fsr_tpu.ops.easu import easu_coords
+    fx, fy, _, _ = easu_coords(con, out_hw)
+    tj, ti = easu_gather._pick_tiles(out_hw[0], out_hw[1], apply_rcas=True)
+    tj_e = -(-(tj + 2) // 8) * 8
+    _, _, tiw = easu_gather._axis_plan(fx, out_hw[1], ti, 0, 128)
+    assert tiw > win  # forces the replan
+    img = rng.uniform(0, 1, (3, *in_hw)).astype(np.float32)
+    rcon = RcasConstants(0.25)
+    got = np.asarray(easu_gather.easu_gather(
+        jnp.asarray(img), out_hw, con, rcon, apply_rcas=True))
+    want = _xla_gather(img, out_hw, con, rcon)
+    np.testing.assert_allclose(got, want, atol=ATOL, rtol=0)
+
+
+def _xla_gather(img, out_hw, con, rcon):
+    out = easu_ops.easu(jnp.asarray(img), out_hw, con)
+    out = rcas_ops.rcas(out, rcon)
+    return np.asarray(out)

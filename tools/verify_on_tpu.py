@@ -133,6 +133,48 @@ def main() -> int:
         check(f"{label} (phase={det and (det[0], det[1])}) f32",
               got_h, want_h, 4e-5)
 
+    # 2d. Gather-kernel in-kernel pad (clamped aligned windows, no edge-pad
+    # pass): aligned geometry must be BIT-identical to the padded-plan path
+    # on hardware (it reimplements the CLAMP sampler, FSR_Filter.cpp:49-50);
+    # misaligned preset geometry (1.3x render sizes) must take the fallback
+    # and still match the oracle.
+    print("gather in-kernel pad (hardware A/B):")
+    assert easu_gather.INKERNEL_PAD
+    ih, iw, oh, ow = 720, 1280, 1080, 1920  # aligned 1.5x hybrid, ikpad on
+    con_ik = EasuConstants.create((iw, ih), None, (ow, oh))
+    img_ik = rng.uniform(0, 1, (3, ih, iw)).astype(np.float32)
+    for dt_lab, dt_ik in (("f32", jnp.float32), ("bf16", jnp.bfloat16)):
+        x_ik = jnp.asarray(img_ik).astype(dt_ik)
+        try:
+            jax.clear_caches()
+            got_on = np.asarray(easu_gather.easu_gather(
+                x_ik, (oh, ow), con_ik, rcon, apply_rcas=True,
+                compute_dtype=dt_ik))
+            easu_gather.INKERNEL_PAD = False
+            jax.clear_caches()
+            got_off = np.asarray(easu_gather.easu_gather(
+                x_ik, (oh, ow), con_ik, rcon, apply_rcas=True,
+                compute_dtype=dt_ik))
+        finally:
+            easu_gather.INKERNEL_PAD = True
+            jax.clear_caches()
+        ok = np.array_equal(got_on, got_off)
+        print(f"  {'PASS' if ok else 'FAIL'} aligned 1.5x {dt_lab} "
+              f"in-kernel pad bit-equal")
+        if not ok:
+            failures.append(f"in-kernel pad {dt_lab}")
+    check("aligned 1.5x ikpad f32 vs oracle",
+          easu_gather.easu_gather(jnp.asarray(img_ik), (oh, ow), con_ik,
+                                  rcon, apply_rcas=True),
+          oracle(img_ik, (oh, ow), con_ik, rcon), 4e-5)
+    ih, iw = 416, 666  # misaligned 1.3x-ish: ik gate fails -> padded plan
+    con_mk = EasuConstants.create((iw, ih), None, (865, 540))
+    img_mk = rng.uniform(0, 1, (3, ih, iw)).astype(np.float32)
+    check("misaligned 1.3x (pad fallback) f32",
+          easu_gather.easu_gather(jnp.asarray(img_mk), (540, 865), con_mk,
+                                  rcon, apply_rcas=True),
+          oracle(img_mk, (540, 865), con_mk, rcon), 4e-5)
+
     # 2c. Regression: integer-fraction columns (the FMA/floor desync size).
     print("gather kernel (irregular 1.266x with frac==0 columns):")
     in_hw, out_hw = (58, 165), (73, 209)
