@@ -381,9 +381,14 @@ def easu_gather(
     hout, wout = out_size
     hin, win = image.shape[-2:]
     fx, fy, px, py = easu_coords(con, out_size)
+    # Ablation modes keep the conservative (120, 384) plan: "noroll"
+    # removes the alignment rolls, which extends the full-width window
+    # planes' live ranges across the whole block loop and OOMs Mosaic's
+    # 16M scoped vmem at the wide production plans (GATHER_ABL r4).
     tj, ti = _pick_tiles(
         hout, wout, apply_rcas=apply_rcas, out8=u8_out, out16=u16_out,
-        scale=(1.0 / float(con.scale[1]) if dt == jnp.bfloat16 else None),
+        scale=(1.0 / float(con.scale[1])
+               if dt == jnp.bfloat16 and not _ABL else None),
     )
     # Hybrid X-phase mode: when the X mapping is exactly rational (stride
     # source texels per qx outputs — e.g. the Quality 1.5x preset is

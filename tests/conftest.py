@@ -88,6 +88,7 @@ _SLOW = {
     # Gather in-kernel pad A/B: the hybrid (in_hw0), col-gather (in_hw1)
     # and fallback-replan cases stay fast; ragged/bf16/easu-only variants
     # run in the full suite.
+    "test_kernels_general.py::test_gather_ablation_modes_construct",
     "test_kernels_general.py::test_gather_inkernel_pad_bit_equal[in_hw2-out_hw2-float32-True]",
     "test_kernels_general.py::test_gather_inkernel_pad_bit_equal[in_hw3-out_hw3-bfloat16-True]",
     "test_kernels_general.py::test_gather_inkernel_pad_bit_equal[in_hw4-out_hw4-float32-False]",

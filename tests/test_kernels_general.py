@@ -319,3 +319,33 @@ def _xla_gather(img, out_hw, con, rcon):
     out = easu_ops.easu(jnp.asarray(img), out_hw, con)
     out = rcas_ops.rcas(out, rcon)
     return np.asarray(out)
+
+
+def test_gather_ablation_modes_construct():
+    """Every gather_ablation mode must construct and run on a tiny size
+    (VERDICT r4 #4: the r4 artifact shipped noroll OOM stack traces where
+    numbers should be; easu_gather now pins ablation runs to the
+    conservative tile plan).  Output is deliberately WRONG under ablation
+    — this only checks the kernels build and produce finite values."""
+    import subprocess
+    import sys
+
+    code = (
+        "import numpy as np, jax.numpy as jnp\n"
+        "from fsr_tpu.kernels import easu_gather\n"
+        "easu_gather.INTERPRET = True\n"
+        "from fsr_tpu.core.constants import EasuConstants, RcasConstants\n"
+        "img = jnp.asarray(np.random.default_rng(0).uniform("
+        "0, 1, (3, 24, 140)).astype(np.float32))\n"
+        "con = EasuConstants.create((140, 24), None, (256, 32))\n"
+        "out = easu_gather.easu_gather(img, (32, 256), con,"
+        " RcasConstants(0.25), apply_rcas=True)\n"
+        "assert out.shape == (3, 32, 256)\n"
+        "assert bool(jnp.all(jnp.isfinite(out)))\n"
+    )
+    for mode in ("base384", "noroll", "nogather", "noselrow", "nog"):
+        env = {"FSR_GATHER_ABL": mode, "FSR_GATHER_ABL_I_KNOW": "1",
+               "PATH": "/usr/bin:/bin", "JAX_PLATFORMS": "cpu"}
+        r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                           text=True, env=env, cwd="/root/repo", timeout=600)
+        assert r.returncode == 0, f"mode {mode}: {r.stderr[-800:]}"

@@ -17,11 +17,13 @@ _ROOT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "..")
 
 MODES = [
     ("", "full kernel (baseline)"),
-    # NOTE: "noroll" OOMs Mosaic's 16M scoped vmem at the round-3 wide
-    # tile plans (removing the rolls extends the full-width window
-    # planes' live ranges across the whole block loop).  Kept for
-    # narrower custom sizes; the roll share at the preset sizes is the
-    # nogather-vs-noroll delta from the r2 logs (~0.07 ms).
+    # Every ablation mode runs the conservative (120, 384) tile plan
+    # (easu_gather gates the wide scale-based plans off under _ABL:
+    # "noroll" extends the window planes' live ranges and OOMs Mosaic's
+    # 16M scoped vmem at (136, 640)/(120, 768)).  A second baseline at
+    # that plan is measured so the per-stage deltas compare like with
+    # like.
+    ("base384", "full kernel at the ablation tile plan (120, 384)"),
     ("noroll", "alignment rolls removed (and gathers degenerate)"),
     ("nogather", "within-vreg tap gathers removed (rolls kept)"),
     ("noselrow", "row-selection matmuls replaced by broadcast"),
@@ -51,19 +53,26 @@ def main():
     base = None
     for mode, desc in MODES:
         env = dict(os.environ, FSR_GATHER_ABL=mode, FSR_GATHER_ABL_I_KNOW="1")
+        if mode == "":
+            env.pop("FSR_GATHER_ABL", None)
+            env.pop("FSR_GATHER_ABL_I_KNOW", None)
         out = subprocess.run(
             [sys.executable, "-c", _CHILD.replace("SIZE", repr(size))],
             capture_output=True, text=True, env=env, timeout=600, cwd=_ROOT)
         line = [l for l in out.stdout.splitlines() if l.startswith("ABL_MS")]
         if not line:
-            print(f"{mode or 'base':>10}: FAILED\n{out.stderr[-500:]}")
+            print(f"{mode or 'base':>10}: FAILED\n{out.stderr[-500:]}",
+                  flush=True)
             continue
         ms = float(line[0].split()[1])
         if mode == "":
+            print(f"{'base':>10}: {ms:.3f} ms  ({desc})", flush=True)
+        elif mode == "base384":
             base = ms
-            print(f"{'base':>10}: {ms:.3f} ms  ({desc})")
+            print(f"{mode:>10}: {ms:.3f} ms  ({desc})", flush=True)
         else:
-            print(f"{mode:>10}: {ms:.3f} ms  (-{base - ms:.3f})  ({desc})")
+            print(f"{mode:>10}: {ms:.3f} ms  (-{base - ms:.3f} vs base384)"
+                  f"  ({desc})", flush=True)
 
 
 if __name__ == "__main__":
