@@ -951,6 +951,25 @@ def easu_gather(
             # Selector variants: index k selects (lf + k - 1).
             r_k = {k: r4[k * tj_e:(k + 1) * tj_e] for k in range(4)}
 
+            def sel_rows4(pp, k0, nk):
+                """Row-select dy variants k0..k0+nk-1 of one plane with ONE
+                tall matmul over the stacked selector, sliced back per dy.
+                Bit-exact vs per-dy dots (each output row is the same
+                one-hot dot product) at 1/nk the MXU issues; the k-range
+                keeps the FLOPs identical to the per-tap dots too."""
+                if _ABL == "noselrow":
+                    rep = sel_rows(r_k[k0], pp)  # broadcast stub
+                    return {k0 + k: rep for k in range(nk)}
+                full = sel_rows(r4[k0 * tj_e:(k0 + nk) * tj_e], pp)
+                return {
+                    k0 + k: full[k * tj_e:(k + 1) * tj_e] for k in range(nk)
+                }
+
+            # dy variants used per column offset: tap columns dx -1/+2 feed
+            # only dy in {0,1} (selector rows k 1..2), dx 0/+1 feed all
+            # four; the quad-g columns feed k 0..1.
+            col_rng = {0: (1, 2), 1: (0, 4), 2: (0, 4), 3: (1, 2)}
+
             if xp is not None:
                 # Hybrid X-phase path: deinterleave the tile (and the
                 # per-texel g responses) by the source stride, then every
@@ -993,16 +1012,25 @@ def easu_gather(
                 quad_off = {"s": (0, 0), "t": (0, 1), "u": (1, 0), "v": (1, 1)}
                 res_phases = []
                 for b in range(qx_h):
-                    taps = {}
-                    for name, (dx, dy) in easu_math.TAP_OFFSETS.items():
-                        ws = lfx0[b] + dx
-                        taps[name] = jnp.stack(
-                            [sel_rows(r_k[dy + 1], colplane(ch, ws))
-                             for ch in range(3)], axis=0)
+                    sel = {
+                        (ch, off): sel_rows4(
+                            colplane(ch, lfx0[b] + off - 1), k0, nk)
+                        for ch in range(3)
+                        for off, (k0, nk) in col_rng.items()
+                    }
+                    taps = {
+                        name: jnp.stack(
+                            [sel[(ch, dx + 1)][dy + 1] for ch in range(3)],
+                            axis=0)
+                        for name, (dx, dy) in easu_math.TAP_OFFSETS.items()
+                    }
+                    gsel = {
+                        (c, qdx): sel_rows4(
+                            colplane(3 + c, lfx0[b] + qdx - 1), 0, 2)
+                        for c in range(3) for qdx in (0, 1)
+                    }
                     quad_g = {
-                        qk: tuple(
-                            sel_rows(r_k[qdy], colplane(3 + c, lfx0[b] + qdx - 1))
-                            for c in range(3))
+                        qk: tuple(gsel[(c, qdx)][qdy] for c in range(3))
                         for qk, (qdy, qdx) in quad_off.items()
                     }
                     ppx_b = ppx_ref[0:1, 128 * b:128 * (b + 1)]
@@ -1013,10 +1041,12 @@ def easu_gather(
                     )
                     if has_alpha:
                         # Bilinear alpha: same op order as ops.easu.bilinear.
-                        atl = sel_rows(r_k[1], colplane(6, lfx0[b] + 0))
-                        atr = sel_rows(r_k[1], colplane(6, lfx0[b] + 1))
-                        abl = sel_rows(r_k[2], colplane(6, lfx0[b] + 0))
-                        abr = sel_rows(r_k[2], colplane(6, lfx0[b] + 1))
+                        asel = {
+                            o: sel_rows4(colplane(6, lfx0[b] + o), 1, 2)
+                            for o in (0, 1)
+                        }
+                        atl, abl = asel[0][1], asel[0][2]
+                        atr, abr = asel[1][1], asel[1][2]
                         top = atl + (atr - atl) * ppx_b
                         bot = abl + (abr - abl) * ppx_b
                         ares = top + (bot - top) * ppy
@@ -1063,11 +1093,13 @@ def easu_gather(
                         return pp
                     return jnp.take_along_axis(pp, idx, axis=1)
 
-                def selr(r, pp):
-                    if _ABL in ("noselrow", "nogather", "noroll"):
+                def selr4(pp, k0, nk):
+                    """sel_rows4 with the ablation stubs of the old selr."""
+                    if _ABL in ("nogather", "noroll"):
                         reps = -(-tj_e // pp.shape[0])
-                        return jnp.concatenate([pp] * reps, axis=0)[:tj_e]
-                    return sel_rows(r, pp)
+                        rep = jnp.concatenate([pp] * reps, axis=0)[:tj_e]
+                        return {k0 + k: rep for k in range(nk)}
+                    return sel_rows4(pp, k0, nk)
 
                 def sel_block(w):
                     """Roll + gather + row-select the tap/quad planes of
@@ -1088,23 +1120,33 @@ def easu_gather(
                         else:
                             wins.append(pltpu.roll(
                                 ps, (wd - shift) % wd, axis=1)[:, :128])
-                    taps = {}
-                    for name, (dx, dy) in easu_math.TAP_OFFSETS.items():
-                        taps[name] = jnp.stack(
-                            [selr(r_k[dy + 1], gath(
-                                wins[ch], bidx + (dx + 1)))
-                             for ch in range(3)], axis=0)
+                    sel = {
+                        (ch, off): selr4(gath(wins[ch], bidx + off), k0, nk)
+                        for ch in range(3)
+                        for off, (k0, nk) in col_rng.items()
+                    }
+                    taps = {
+                        name: jnp.stack(
+                            [sel[(ch, dx + 1)][dy + 1] for ch in range(3)],
+                            axis=0)
+                        for name, (dx, dy) in easu_math.TAP_OFFSETS.items()
+                    }
+                    gsel = {
+                        (c, qdx): selr4(gath(wins[3 + c], bidx + qdx), 0, 2)
+                        for c in range(3) for qdx in (0, 1)
+                    }
                     quad_g = {
-                        qk: tuple(
-                            selr(r_k[qdy], gath(
-                                wins[3 + c], bidx + qdx))
-                            for c in range(3))
+                        qk: tuple(gsel[(c, qdx)][qdy] for c in range(3))
                         for qk, (qdy, qdx) in quad_off.items()
                     }
                     ataps = None
                     if has_alpha:
+                        asel = {
+                            off: selr4(gath(wins[6], bidx + off), 1, 2)
+                            for off in (1, 2)
+                        }
                         ataps = tuple(
-                            selr(r_k[dy + 1], gath(wins[6], bidx + dx + 1))
+                            asel[dx + 1][dy + 1]
                             for dy, dx in ((0, 0), (0, 1), (1, 0), (1, 1))
                         )
                     return taps, quad_g, ataps
@@ -1142,14 +1184,21 @@ def easu_gather(
             cgg = {qdx: [sel_cols(comp, st_k[qdx]) for comp in g_tex]
                    for qdx in (0, 1)}
 
-            taps = {}
-            for name, (dx, dy) in easu_math.TAP_OFFSETS.items():
-                planes = cg[dx + 1]
-                taps[name] = jnp.stack(
-                    [sel_rows(r_k[dy + 1], p) for p in planes], axis=0
-                )
+            sel = {
+                (ch, off): sel_rows4(cg[off][ch], *col_rng[off])
+                for ch in range(3) for off in range(4)
+            }
+            taps = {
+                name: jnp.stack(
+                    [sel[(ch, dx + 1)][dy + 1] for ch in range(3)], axis=0)
+                for name, (dx, dy) in easu_math.TAP_OFFSETS.items()
+            }
+            gsel = {
+                (c, qdx): sel_rows4(cgg[qdx][c], 0, 2)
+                for c in range(3) for qdx in (0, 1)
+            }
             quad_g = {
-                qk: tuple(sel_rows(r_k[qdy], p) for p in cgg[qdx])
+                qk: tuple(gsel[(c, qdx)][qdy] for c in range(3))
                 for qk, (qdy, qdx) in quad_off.items()
             }
 
@@ -1163,10 +1212,9 @@ def easu_gather(
             )
             if has_alpha:
                 ca = {k: sel_cols(alpha_t, st_k[k]) for k in (1, 2)}
-                atl = sel_rows(r_k[1], ca[1])
-                atr = sel_rows(r_k[1], ca[2])
-                abl = sel_rows(r_k[2], ca[1])
-                abr = sel_rows(r_k[2], ca[2])
+                asel = {k: sel_rows4(ca[k], 1, 2) for k in (1, 2)}
+                atl, abl = asel[1][1], asel[1][2]
+                atr, abr = asel[2][1], asel[2][2]
                 top = atl + (atr - atl) * ppx
                 bot = abl + (abr - abl) * ppx
                 ares = top + (bot - top) * ppy
