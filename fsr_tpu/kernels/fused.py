@@ -162,6 +162,17 @@ def _pick_tiles(hpl: int, wpl: int, qy: int, qx: int, pack: bool = False,
     ti = 512
     if rcas and qy * qx >= 16:
         ti = 256
+    if pack and qy == 2 and wpl > 512:
+        # The qy=2 pack path has no row riffle and its column riffle
+        # handles any 128-multiple width (per-block shuffles), so prefer
+        # an exact divisor of the plane width: the ragged last tile
+        # column's overcompute disappears (ti=384 divides the 1920-lane
+        # 4K phase plane exactly; 512 wastes 6.7% of the x axis, ~0.07 ms
+        # at the bf16 headline).
+        for cand in (512, 384, 256):
+            if wpl % cand == 0:
+                ti = cand
+                break
     while ti > wpl and ti > 1:
         ti //= 2
     if pack and qy == 2:
@@ -176,7 +187,8 @@ def _pick_tiles(hpl: int, wpl: int, qy: int, qx: int, pack: bool = False,
         tj = 32
         while tj > hpl and tj > 1:
             tj //= 2
-    if not (pow2(ti) and (pow2(tj) or pack)):
+    ti_ok = pow2(ti) or (pack and qy == 2 and ti % 128 == 0)
+    if not (ti_ok and (pow2(tj) or pack)):
         return None
     wout, hout = qx * wpl, qy * hpl
     if (qx * ti) % 128 and qx * ti != wout:
@@ -208,7 +220,24 @@ def _interleave_lanes(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """
     w = a.shape[-1]
     if w & (w - 1):
-        raise ValueError(f"interleave needs a power-of-two extent, got {w}")
+        # Non-power-of-two multiples of 128: a perfect shuffle decomposes
+        # into independent per-128-block shuffles (out pair-block k is the
+        # interleave of a[128k:128(k+1)] and b[128k:128(k+1)]), each a
+        # power-of-two interleave.  This unlocks exact-divisor tile widths
+        # (e.g. ti=384 for the 1920-lane 4K phase plane) so the ragged
+        # last tile column's wasted lanes disappear.
+        if w % 128:
+            raise ValueError(
+                f"interleave needs a power-of-two or 128-multiple extent, "
+                f"got {w}"
+            )
+        return jnp.concatenate(
+            [
+                _interleave_lanes(a[..., k:k + 128], b[..., k:k + 128])
+                for k in range(0, w, 128)
+            ],
+            axis=-1,
+        )
     n = 2 * w
     c = jnp.concatenate([a, b], axis=-1)
     lead = c.shape[:-1]
@@ -702,6 +731,26 @@ def upscale_fused(
                 r = pltpu.roll(r, (r.shape[ax - 2] - dy) % r.shape[ax - 2], axis=ax - 2)
             return r
 
+        def shift2t(arr, dy, dx):
+            """shift2 + lane truncation to ti, with the row roll AFTER the
+            truncation: the column roll must run at the full tiw window
+            (wrapped lanes land beyond the deepest tap), but a row roll
+            commutes with dropping trailing lanes, so running it on the
+            truncated plane does ~20% less vreg work (ti=512 vs tiw=640 at
+            the headline plan).  Bit-exact: pure op reordering.  The
+            col-rolled truncated bases CSE-share across taps that differ
+            only in row shift, exactly as before."""
+            if jnp.dtype(arr.dtype).itemsize < 4:
+                return shift2t(arr.astype(jnp.float32), dy, dx).astype(arr.dtype)
+            r = arr
+            ax = r.ndim
+            if dx:
+                r = pltpu.roll(r, (r.shape[ax - 1] - dx) % r.shape[ax - 1], axis=ax - 1)
+            r = r[..., :ti]
+            if dy:
+                r = pltpu.roll(r, (r.shape[ax - 2] - dy) % r.shape[ax - 2], axis=ax - 2)
+            return r
+
         def tile_dma(step, dslot):
             """Async copy of tile `step`'s input window into tile[dslot].
 
@@ -833,19 +882,19 @@ def upscale_fused(
                 row = []
                 for b in range(qx):
                     taps = {
-                        name: shift2(
+                        name: shift2t(
                             tile3,
                             (ry[a] - ry_min) + (dy + 1),
                             (rx[b] - rx_min) + (dx + 1) + 1,
-                        )[..., :ti]
+                        )
                         for name, (dx, dy) in easu_math.TAP_OFFSETS.items()
                     }
                     quad_g = {
                         qk: tuple(
-                            shift2(
+                            shift2t(
                                 comp, (ry[a] - ry_min) + qdy,
                                 (rx[b] - rx_min) + qdx + 1,
-                            )[..., :ti]
+                            )
                             for comp in g_tex
                         )
                         for qk, (qdy, qdx) in quad_off.items()
@@ -864,10 +913,10 @@ def upscale_fused(
                         # order mirrors ops.easu.bilinear exactly, so f32
                         # alpha is bit-equal to the XLA pass it replaces.
                         sy0, sx0 = ry[a] - ry_min, (rx[b] - rx_min) + 1
-                        tl = shift2(alpha_t, sy0 + 1, sx0 + 1)[..., :ti]
-                        tr = shift2(alpha_t, sy0 + 1, sx0 + 2)[..., :ti]
-                        bl = shift2(alpha_t, sy0 + 2, sx0 + 1)[..., :ti]
-                        br = shift2(alpha_t, sy0 + 2, sx0 + 2)[..., :ti]
+                        tl = shift2t(alpha_t, sy0 + 1, sx0 + 1)
+                        tr = shift2t(alpha_t, sy0 + 1, sx0 + 2)
+                        bl = shift2t(alpha_t, sy0 + 2, sx0 + 1)
+                        br = shift2t(alpha_t, sy0 + 2, sx0 + 2)
                         pxs = jnp.float32(px_phase[b])
                         pys = jnp.float32(py_phase[a])
                         top = tl + (tr - tl) * pxs
