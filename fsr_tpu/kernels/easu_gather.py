@@ -90,6 +90,36 @@ if _ABL and os.environ.get("FSR_GATHER_ABL_I_KNOW") != "1":
         "Set FSR_GATHER_ABL_I_KNOW=1 to confirm, or unset FSR_GATHER_ABL."
     )
 
+# Packed-pair gathers on the bf16-matmul path (two bf16 planes per int32
+# within-vreg gather; bit-exact there — see the col-gather packing note in
+# the kernel).  Default OFF: measured slower on v5e (1.459 vs 1.431 ms at
+# 1.7x, 1.515 vs 1.505 at 1.3x, GATHER_ABL_r05) — the pack/unpack integer
+# ALU work on full-window planes outweighs the 8 saved gathers + 3 saved
+# rolls per block.  FSR_GATHER_PACK=1 re-enables for A/B.
+_PACK = os.environ.get("FSR_GATHER_PACK", "0") == "1"
+
+
+def _pack2(hi, lo):
+    """int32 plane holding bf16(hi) in the top half-word, bf16(lo) low.
+
+    bf16 -> f32 upcast is exact and places the bf16 bit pattern in the
+    f32's top 16 bits, so the pack is two upcast-bitcasts + shift + or.
+    """
+    def bits_hi(x):
+        return jax.lax.bitcast_convert_type(
+            x.astype(jnp.bfloat16).astype(jnp.float32), jnp.int32)
+
+    return bits_hi(hi) | jax.lax.shift_right_logical(
+        bits_hi(lo), jnp.int32(16))
+
+
+def _unpack2(v):
+    """Inverse of _pack2: two f32 planes holding the exact bf16 values."""
+    hi = jax.lax.bitcast_convert_type(v & jnp.int32(-65536), jnp.float32)
+    lo = jax.lax.bitcast_convert_type(
+        jax.lax.shift_left(v, jnp.int32(16)), jnp.float32)
+    return hi, lo
+
 
 def supported(in_shape, out_size, con: EasuConstants, compute_dtype,
               out_dtype=None) -> bool:
@@ -126,9 +156,11 @@ def _pick_tiles(hout: int, wout: int, apply_rcas: bool = False,
     regardless of ti.  The hybrid X-phase mode overrides ti to 128*qx and
     measured best at tj=120 (136/152 were 1.8%/3.2% slower at 1.5x).
     `scale` is the output/input ratio used to pick between the two
-    regimes; None keeps the pre-sweep (120, 384) plan, which also serves
-    f32 compute (the wide tiles' f32 input window + plane buffers exceed
-    the 16M VMEM scoped limit at 1.3x; measured OOM at (120, 768) f32).
+    regimes; None keeps the pre-sweep (120, 384) plan (ablation modes).
+    The wide plans serve f32 too since the kernel's scoped-vmem budget
+    was raised past Mosaic's 16M default (r5); a wider re-sweep under
+    that budget confirmed (136, 640)/(120, 768) still optimal for bf16
+    ((136, 768) neutral, (168+, *) and (120, 896+) strictly worse).
     out8/out16: uint8/uint16 output blocks need a 32/16-row granule ->
     tj=96/112 with the proven (.., 384) plan (not re-swept at 640+).
     The EASU-only kernel keeps (64, 256)."""
@@ -219,10 +251,11 @@ def build_shard_plans(in_size, out_size, con: EasuConstants, n: int,
     fx, fy, px, py = easu_coords(con, out_size)
     o8 = out_dtype is not None and jnp.dtype(out_dtype) == jnp.uint8
     o16 = out_dtype is not None and jnp.dtype(out_dtype) == jnp.uint16
+    # Must mirror easu_gather's own plan choice exactly (the kernel
+    # validates the R geometry): scale-based plans for every dtype.
     tj, _ = _pick_tiles(
         hl, wout, apply_rcas=apply_rcas, out8=o8, out16=o16,
-        scale=(1.0 / float(con.scale[1])
-               if jnp.dtype(compute_dtype) == jnp.bfloat16 else None),
+        scale=1.0 / float(con.scale[1]),
     )
     rhalo = 1 if apply_rcas else 0
     tj_e = -(-(tj + 2) // 8) * 8 if apply_rcas else tj
@@ -385,11 +418,20 @@ def easu_gather(
     # removes the alignment rolls, which extends the full-width window
     # planes' live ranges across the whole block loop and OOMs Mosaic's
     # 16M scoped vmem at the wide production plans (GATHER_ABL r4).
+    # The wide scale-based plans originally served only bf16 (the f32
+    # input window + plane buffers tripped Mosaic's 16M default scoped
+    # vmem); with the raised per-kernel stack budget below they win for
+    # f32 too (1.7x 2.655 -> 2.566 ms, 1.3x 3.195 -> 3.024, r5 sweep).
+    # Ablation modes keep the conservative plan ("noroll" extends the
+    # window planes' live ranges past even the raised budget).
     tj, ti = _pick_tiles(
         hout, wout, apply_rcas=apply_rcas, out8=u8_out, out16=u16_out,
-        scale=(1.0 / float(con.scale[1])
-               if dt == jnp.bfloat16 and not _ABL else None),
+        scale=(1.0 / float(con.scale[1]) if not _ABL else None),
     )
+    # Sweep hook (tools only): override the tile plan, e.g. "136,640".
+    _tiles_env = os.environ.get("FSR_GATHER_TILES")
+    if _tiles_env:
+        tj, ti = (int(v) for v in _tiles_env.split(","))
     # Hybrid X-phase mode: when the X mapping is exactly rational (stride
     # source texels per qx outputs — e.g. the Quality 1.5x preset is
     # stride 2 / qx 3), column taps become rolls of stride-deinterleaved
@@ -541,6 +583,9 @@ def easu_gather(
     # value, so selection stays bit-exact with bf16-rate matmuls (Mosaic
     # rejects Precision.HIGH, and HIGHEST costs 6 passes).
     mm_dt = jnp.float32 if dt == jnp.float32 else jnp.bfloat16
+    # Packed-pair gathers ride only the bf16-matmul path, where the select
+    # dots round their data operand to bf16 anyway (see _pack2).
+    use_pack = mm_dt != jnp.float32 and _PACK
     # All four dy-shift variants are stacked into one (4*tj_e, tih) selector:
     # row block k selects source row lfy - 1 + k.  The col-gather path rides
     # one tall matmul per (channel, dx) instead of one small matmul per tap
@@ -1083,10 +1128,37 @@ def easu_gather(
                 # VMEM-resident (the full-width variant measured ~52% of
                 # the VPU roofline from scratch spills; this form ~matches
                 # the 2x kernel's utilization).
-                tile3f = tile3.astype(jnp.float32)
-                srcs = [tile3f[0], tile3f[1], tile3f[2]] + list(g_tex)
-                if has_alpha:
-                    srcs.append(alpha_t)  # wins index 6
+                if use_pack:
+                    # Packed-pair planes: two bf16 values per int32 lane, so
+                    # one roll + one within-vreg gather serves two logical
+                    # source planes.  Bit-exact on this (bf16 matmul) path:
+                    # the row-select dot already rounds its data operand to
+                    # bf16, so packing applies the same RNE round one stage
+                    # earlier (channel planes come from bf16 storage and
+                    # round exactly; the f32 g responses get the identical
+                    # rounding the dot would apply).  The f32 path keeps the
+                    # unpacked split3 route (packing would truncate).
+                    # Layout: P0=(r,g) offs 0-3, P1=(b,g0) offs 0-3 (g0 uses
+                    # only 0-1), P2=(g1,g2) offs 0-1; alpha stays unpacked.
+                    # Channels pack straight from the bf16 tile (no f32
+                    # window planes), and the f32 g planes die at their
+                    # pack, so the live window set is 3 int32 planes vs the
+                    # unpacked path's 6 f32 — the packs also halve the
+                    # scoped-vmem steady state.
+                    srcs = None
+                    psrcs = [
+                        _pack2(tile3[0], tile3[1]),
+                        _pack2(tile3[2], g_tex[0]),
+                        _pack2(g_tex[1], g_tex[2]),
+                    ]
+                    poffs = [(0, 1, 2, 3), (0, 1, 2, 3), (0, 1)]
+                    if has_alpha:
+                        psrcs.append(alpha_t)
+                else:
+                    tile3f = tile3.astype(jnp.float32)
+                    srcs = [tile3f[0], tile3f[1], tile3f[2]] + list(g_tex)
+                    if has_alpha:
+                        srcs.append(alpha_t)  # wins index 6
 
                 def gath(pp, idx):
                     if _ABL in ("nogather", "noroll"):
@@ -1101,6 +1173,16 @@ def easu_gather(
                         return {k0 + k: rep for k in range(nk)}
                     return sel_rows4(pp, k0, nk)
 
+                def roll_win(p, shift, sb, wd):
+                    ps = p[:, sb:sb + wd]
+                    if _ABL == "noroll":
+                        return ps[:, :128]
+                    if INTERPRET:
+                        # jnp.roll twin of the dynamic pltpu.roll
+                        # (identical wrap semantics).
+                        return jnp.roll(ps, -shift, axis=1)[:, :128]
+                    return pltpu.roll(ps, (wd - shift) % wd, axis=1)[:, :128]
+
                 def sel_block(w):
                     """Roll + gather + row-select the tap/quad planes of
                     128-lane output block w."""
@@ -1108,32 +1190,52 @@ def easu_gather(
                     bidx = jnp.broadcast_to(
                         ci_ref[0, 0:1, 128 * w:128 * (w + 1)], (tih, 128))
                     sb, wd = sbase[w], swid[w]
-                    wins = []
-                    for p in srcs:
-                        ps = p[:, sb:sb + wd]
-                        if _ABL == "noroll":
-                            wins.append(ps[:, :128])
-                        elif INTERPRET:
-                            # jnp.roll twin of the dynamic pltpu.roll
-                            # (identical wrap semantics).
-                            wins.append(jnp.roll(ps, -shift, axis=1)[:, :128])
-                        else:
-                            wins.append(pltpu.roll(
-                                ps, (wd - shift) % wd, axis=1)[:, :128])
-                    sel = {
-                        (ch, off): selr4(gath(wins[ch], bidx + off), k0, nk)
-                        for ch in range(3)
-                        for off, (k0, nk) in col_rng.items()
-                    }
+                    if use_pack:
+                        # One roll + gather per packed pair; unpack restores
+                        # the exact bf16 values the select dots would round
+                        # to, and each unpacked plane is row-selected
+                        # immediately so only the (tj_e, 128) dot results
+                        # stay live.  Logical srcs: 0=r 1=g 2=b 3..5=g_tex;
+                        # selector ranges: channels per col_rng, g (0, 2).
+                        wins = [roll_win(p, shift, sb, wd) for p in psrcs]
+                        rng_of = {
+                            si: (col_rng if si < 3
+                                 else {0: (0, 2), 1: (0, 2)})
+                            for si in range(6)
+                        }
+                        sels = {}
+                        for pi, offs in enumerate(poffs):
+                            for off in offs:
+                                hi, lo = _unpack2(gath(wins[pi], bidx + off))
+                                for si, pl_ in ((2 * pi, hi),
+                                                (2 * pi + 1, lo)):
+                                    rng = rng_of[si].get(off)
+                                    if rng is not None:
+                                        sels[(si, off)] = selr4(pl_, *rng)
+                        sel = {(ch, off): sels[(ch, off)]
+                               for ch in range(3) for off in col_rng}
+                        gsel = {(c, qdx): sels[(3 + c, qdx)]
+                                for c in range(3) for qdx in (0, 1)}
+                        awin = wins[3] if has_alpha else None
+                    else:
+                        wins = [roll_win(p, shift, sb, wd) for p in srcs]
+                        sel = {
+                            (ch, off): selr4(gath(wins[ch], bidx + off),
+                                             k0, nk)
+                            for ch in range(3)
+                            for off, (k0, nk) in col_rng.items()
+                        }
+                        gsel = {
+                            (c, qdx): selr4(gath(wins[3 + c], bidx + qdx),
+                                            0, 2)
+                            for c in range(3) for qdx in (0, 1)
+                        }
+                        awin = wins[6] if has_alpha else None
                     taps = {
                         name: jnp.stack(
                             [sel[(ch, dx + 1)][dy + 1] for ch in range(3)],
                             axis=0)
                         for name, (dx, dy) in easu_math.TAP_OFFSETS.items()
-                    }
-                    gsel = {
-                        (c, qdx): selr4(gath(wins[3 + c], bidx + qdx), 0, 2)
-                        for c in range(3) for qdx in (0, 1)
                     }
                     quad_g = {
                         qk: tuple(gsel[(c, qdx)][qdy] for c in range(3))
@@ -1142,7 +1244,7 @@ def easu_gather(
                     ataps = None
                     if has_alpha:
                         asel = {
-                            off: selr4(gath(wins[6], bidx + off), 1, 2)
+                            off: selr4(gath(awin, bidx + off), 1, 2)
                             for off in (1, 2)
                         }
                         ataps = tuple(
@@ -1340,10 +1442,17 @@ def easu_gather(
         out_specs=pl.BlockSpec((1, nc, tj, ti), out_index),
         scratch_shapes=scratch_shapes,
     )
+    # The packed-pair pipeline's pack-time transient (f32 g planes + the
+    # int32 packed planes) peaks past Mosaic's 16M default scoped-vmem
+    # stack at the wide production plans; the v5e has 128M of VMEM, so
+    # raise the kernel's stack budget (operands/scratch are accounted
+    # separately by the BlockSpec machinery).
+    params = pltpu.CompilerParams(vmem_limit_bytes=48 * 1024 * 1024)
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nb, nc, hout, wout), out_dt),
         interpret=INTERPRET,
+        compiler_params=params,
     )(rs_arr, jnp.asarray(col_starts), cbase_flat, *operands)
     return out.reshape(batch_dims + (nc, hout, wout))

@@ -349,3 +349,34 @@ def test_gather_ablation_modes_construct():
         r = subprocess.run([sys.executable, "-c", code], capture_output=True,
                            text=True, env=env, cwd="/root/repo", timeout=600)
         assert r.returncode == 0, f"mode {mode}: {r.stderr[-800:]}"
+
+
+@pytest.mark.parametrize("in_hw,out_hw", [
+    ((96, 256), (163, 435)),   # ~1.7x col-gather, ragged
+    ((90, 256), (135, 384)),   # 1.5x-geometry on the col-gather widths
+])
+def test_gather_packed_pair_bit_equal(rng, in_hw, out_hw, monkeypatch):
+    """FSR_GATHER_PACK=1 (two bf16 planes per int32 within-vreg gather)
+    must be bit-identical to the unpacked bf16 path: the row-select dots
+    round their data operand to bf16 either way, so the pack just applies
+    the same RNE round one stage earlier.  (Default off: measured slower
+    on v5e — see GATHER_ABL_r05; the gate keeps the A/B reproducible.)"""
+    import jax
+
+    img = jnp.asarray(
+        rng.uniform(0, 1, (3, *in_hw)).astype(np.float32), dtype=jnp.bfloat16
+    )
+    con, rcon = _con(in_hw, out_hw), RcasConstants(0.25)
+
+    def run():
+        jax.clear_caches()  # the jit cache keys on dtypes, not the gate
+        return np.asarray(easu_gather.easu_gather(
+            img, out_hw, con, rcon, apply_rcas=True,
+            compute_dtype=jnp.bfloat16,
+        ).astype(jnp.float32))
+
+    monkeypatch.setattr(easu_gather, "_PACK", True)
+    got = run()
+    monkeypatch.setattr(easu_gather, "_PACK", False)
+    want = run()
+    np.testing.assert_array_equal(got, want)
