@@ -142,9 +142,10 @@ def _pick_tiles(hpl: int, wpl: int, qy: int, qx: int, pack: bool = False,
     Column extents must be powers of two (butterfly riffle); rows too on
     the f32 path (row riffle) AND on qy=4 pack paths (the second pack
     level riffles packed rows), but the qy=2 pack path has no row
-    riffle, so tj only needs the 8-row DMA/block granule — tj=40 was
-    the on-device sweep winner there (56 OOMs VMEM; 32 wastes 25% of the
-    row window).  The output block (qy*tj, qx*ti) must satisfy Pallas's
+    riffle, so tj only needs the 8-row DMA/block granule — under the 48M
+    scoped-vmem budget (upscale_fused passes it to Mosaic) the on-device
+    sweep winner is the tallest exact row divisor <= 120, falling back
+    to 40.  The output block (qy*tj, qx*ti) must satisfy Pallas's
     block rule: last dim divisible by 128 (or equal to the full width),
     second-to-last divisible by 8 (or equal to the full height) — 32 for
     8-bit outputs (out8), whose sublane granule is 32 rows.
@@ -165,11 +166,15 @@ def _pick_tiles(hpl: int, wpl: int, qy: int, qx: int, pack: bool = False,
     if pack and qy == 2 and wpl > 512:
         # The qy=2 pack path has no row riffle and its column riffle
         # handles any 128-multiple width (per-block shuffles), so prefer
-        # an exact divisor of the plane width: the ragged last tile
-        # column's overcompute disappears (ti=384 divides the 1920-lane
-        # 4K phase plane exactly; 512 wastes 6.7% of the x axis, ~0.07 ms
-        # at the bf16 headline).
-        for cand in (512, 384, 256):
+        # a wide exact divisor of the plane width: the ragged last tile
+        # column's overcompute disappears, and wider tiles amortize the
+        # per-tap lane rolls, which run at tiw = round_up(ti+6, 128)
+        # lanes per ti useful (384 rolls 512 for 384, 33% waste; 640
+        # rolls 768, 20%).  Round-5 hardware sweep at the 4K headline
+        # (tools/ablation/fused_tile_sweep.py, 48M scoped-vmem budget):
+        # ti 384 -> 640 is 1.114 -> 1.076 ms at tj=40; ti=1920 OOMs
+        # above tj=40 and wins nothing over (120, 640).
+        for cand in (640, 512, 384, 256):
             if wpl % cand == 0:
                 ti = cand
                 break
@@ -177,6 +182,19 @@ def _pick_tiles(hpl: int, wpl: int, qy: int, qx: int, pack: bool = False,
         ti //= 2
     if pack and qy == 2:
         tj = 48 if out8 else 40  # u8 blocks need a 32-row granule
+        if not out8:
+            # Taller tiles cut the row-halo fraction (tih = tj+6 rounded
+            # to 8) and the per-tile DMA/pipeline overhead, but a ragged
+            # last row tile wastes a whole tile row of compute, so only
+            # exact divisors of the plane height qualify.  Hardware sweep
+            # at the 4K headline (hpl=1080): tj=120 is 1.002 ms vs 40's
+            # 1.114 (ti=640) and 1.016 vs 1.114 at ti=384; tj=216 fits
+            # VMEM only at ti<=384 (1.006 — no win), 216+ OOMs at
+            # ti=640 under the 48M budget, so 120 is the cap.
+            for cand in range(120, 40, -8):
+                if hpl % cand == 0:
+                    tj = cand
+                    break
         while tj > hpl and tj > 8:
             tj -= 8
         if tj > hpl:  # very short images: fall back to pow2 shrink
@@ -1251,6 +1269,11 @@ def upscale_fused(
     else:
         out_idx = lambda bi, ty, tx: (bi, 0, ty, tx)
 
+    # Same scoped-vmem stack budget as the gather kernel: the v5e has
+    # 128M of VMEM and Mosaic's 16M default is what capped the tile
+    # sweep at ti<=512 / tj<=40 (tj=56 OOM'd under it); the wide
+    # exact-divisor plans need the headroom.
+    params = pltpu.CompilerParams(vmem_limit_bytes=48 * 1024 * 1024)
     if assemble == "xla":
         phase_spec = pl.BlockSpec(
             (1, nc, tj, ti), out_idx, memory_space=pltpu.VMEM,
@@ -1265,6 +1288,7 @@ def upscale_fused(
             ),
             scratch_shapes=scratch_shapes,
             interpret=INTERPRET,
+            compiler_params=params,
         )(*operands)
         # Interleave phases in one fused transpose+reshape pass.
         stackd = jnp.stack(outs).reshape(qy, qx, nb, nc, hpl, wpl)
@@ -1281,5 +1305,6 @@ def upscale_fused(
         out_shape=jax.ShapeDtypeStruct((nb, nc, hout, wout), out_dt),
         scratch_shapes=scratch_shapes,
         interpret=INTERPRET,
+        compiler_params=params,
     )(*operands)
     return out.reshape(batch_dims + (nc, hout, wout))

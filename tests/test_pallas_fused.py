@@ -88,6 +88,27 @@ def test_fused_inkernel_pad_bit_equal(rng, in_hw, out_hw, dt):
     assert np.array_equal(got, want)
 
 
+def test_fused_2x_tall_divisor_tile(rng):
+    """qy=2 pack path prefers the tallest exact row-divisor tj <= 120 and
+    the widest exact-divisor ti: ragged last-tile overcompute disappears
+    (round-5 hardware sweep: (120, 640) runs the 4K headline at 1.002 ms
+    vs the old (40, 384)'s 1.114, bit-exact).  hpl=192 picks tj=96 here
+    (two row tiles); output must be bit-equal to the XLA assembly."""
+    assert fused._pick_tiles(1080, 1920, 2, 2, pack=True) == (120, 640)
+    assert fused._pick_tiles(1080, 1920, 2, 2, pack=True, out8=True) == (48, 640)
+    assert fused._pick_tiles(540, 960, 2, 2, pack=True) == (40, 512)
+    in_hw, out_hw = (192, 128), (384, 256)
+    assert fused._pick_tiles(192, 128, 2, 2, pack=True) == (96, 128)
+    img = jnp.asarray(
+        rng.uniform(0, 1, (3, *in_hw)).astype(np.float32), jnp.bfloat16)
+    con, rcon = _con(in_hw, out_hw), RcasConstants(0.25)
+    got = np.asarray(fused.upscale_fused(
+        img, out_hw, con, rcon, compute_dtype=jnp.bfloat16))
+    want = np.asarray(fused.upscale_fused(
+        img, out_hw, con, rcon, compute_dtype=jnp.bfloat16, assemble="xla"))
+    assert np.array_equal(got, want)
+
+
 def test_fused_4x(rng):
     # qx = qy = 4 (exact binary scale): 4-way riffle assembly.
     in_hw, out_hw = (32, 64), (128, 256)
