@@ -1,4 +1,4 @@
-"""Measured op-mix floor for the fused 2x kernel (VERDICT r4 #1).
+"""Measured op-mix replay for the fused 2x kernel (VERDICT r4 #1).
 
 The jaxpr-counted roofline (fused_roofline.py) charges mul and add as two
 ops while Mosaic pairs many such chains into single FMAs, so the kernel
@@ -15,14 +15,19 @@ stream —
 — on operands that are DMA'd once and then stay VMEM-resident (constant
 block indices), with NO tap rolls, input DMA per tile, packing, riffle, or
 pipeline scratch traffic.  Mosaic compiles the replay with the same FMA
-pairing and scheduling as the real kernel, so
+pairing as the real kernel.
 
-  floor_ms   = replay time scaled to the headline tile count
-  overhead   = kernel_ms - floor_ms   (rolls + DMA + assembly + pipeline)
-  utilization = floor_ms / kernel_ms  (must be <= 100%)
+One caveat keeps this from being a strict lower bound: the replay rotates
+its tap-plane assignment per phase so the dering min/max cannot CSE-fold
+to nothing, but that same rotation also BLOCKS the legitimate cross-phase
+sharing the production kernel gets (its four phases roll overlapping tap
+windows out of one shared tile, and Mosaic CSEs the shared weight
+partials).  The replay is therefore the cost of the UNSHARED math stream;
+the production kernel can legitimately land below it.
 
-The per-tile shapes and tile counts mirror the production bf16 headline
-plan exactly (tj=40, ti=384, tih=48, tiw=512, grid 14x5, 4 phases).
+The per-tile shapes and the tile count are derived from the live
+kernels/fused._pick_tiles plan at import time, so they track the shipping
+plan exactly.
 
 Run on the TPU: python tools/ablation/opmix_floor.py
 """
@@ -36,17 +41,32 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from fsr_tpu.core import easu_math
 from fsr_tpu.core.constants import EasuConstants, RcasConstants
 from fsr_tpu.kernels import fused
 from fsr_tpu.utils import profiling
 
-# Production bf16 headline plan (1080p -> 4K, kernels/fused._pick_tiles):
-# qy = qx = 2, plane 540x1920, tj=40, ti=384 (exact divisor of the
-# 1920-lane plane), tih=48, tiw=512, grid 14*5.
-TJ, TI, TIH, TIW = 40, 384, 48, 512
-NSTEP = 14 * 5
+# Production bf16 headline plan (1080p -> 4K), derived from the live
+# kernel geometry so the replay's tile count cannot drift from the real
+# grid: phase planes are (hout/qy, wout/qx) = 1080x1920, and the replay
+# must run ntiles = cdiv(1080, tj) * cdiv(1920, ti) steps to cover the
+# headline's pixels.  (The first committed ROOFLINE_r05 run of this tool
+# hardcoded NSTEP = 14*5 from a mistaken 540-row plane model — HALF the
+# real 27*5 grid of the then-shipping (40, 384) plan, so its 0.700 ms
+# "floor" and 63% utilization were unsound; see the artifact's correction
+# note.)
+_HPL, _WPL = 1080, 1920
+
+
+def _round_up(v, m):
+    return -(-v // m) * m
+
+
+TJ, TI = fused._pick_tiles(_HPL, _WPL, 2, 2, pack=True)
+TIH, TIW = _round_up(TJ + 6, 8), _round_up(TI + 6, 128)
+NSTEP = pl.cdiv(_HPL, TJ) * pl.cdiv(_WPL, TI)
 PHASES = ((0.75, 0.75), (0.75, 0.25), (0.25, 0.75), (0.25, 0.25))
 
 
@@ -143,6 +163,10 @@ def replay_ms(easu_only: bool = False) -> float:
         ],
         out_specs=pl.BlockSpec((3, TJ, TI), lambda i: (0, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((3, TJ, TI), jnp.float32),
+        # Same scoped-vmem budget as the production kernel: the (120, 640)
+        # plan's operand blocks alone exceed Mosaic's 16M default.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=48 * 1024 * 1024),
     )(t, tp, q))
     return min(
         sum(profiling.op_times(
@@ -174,13 +198,14 @@ def main():
     fe = replay_ms(easu_only=True)
     km = kernel_ms()
     px = 2160 * 3840
-    print(f"replay floor (full op mix, {NSTEP} tiles): {fl:.3f} ms")
-    print(f"replay floor (EASU resolve only):          {fe:.3f} ms")
+    print(f"plan (tj, ti, tih, tiw): ({TJ}, {TI}, {TIH}, {TIW}), "
+          f"{NSTEP} tiles")
+    print(f"unshared-math replay (full op mix):        {fl:.3f} ms")
+    print(f"unshared-math replay (EASU resolve only):  {fe:.3f} ms")
     print(f"production kernel (bf16-in headline):      {km:.3f} ms")
-    print(f"overhead (rolls+DMA+assembly+pipeline):    {km - fl:.3f} ms"
-          f"  ({(km - fl) / km * 100:.1f}% of kernel)")
-    print(f"utilization vs measured op-mix floor:      {fl / km * 100:.0f}%")
-    print(f"implied math throughput at floor: "
+    print(f"kernel vs unshared replay:                 {km / fl * 100:.0f}%"
+          f"  (<100% = cross-phase CSE + schedule beat the unshared stream)")
+    print(f"implied math throughput at replay rate: "
           f"{410.75 * px / (fl * 1e-3) / 1e12:.2f} T counted-el-ops/s")
 
 
