@@ -176,6 +176,99 @@ def replay_ms(easu_only: bool = False) -> float:
     )
 
 
+def replay_shared_ms() -> float:
+    """TRUE floor: the production dataflow with the cheapest possible tap
+    access.  One VMEM-resident tile; every tap/response plane is a STATIC
+    SLICE of it (production pays pltpu.roll lane/sublane rotates instead);
+    the g response is computed once per texel and sliced per phase/quad
+    exactly as compute_planes shares it; the four phases share tile and
+    response, so Mosaic gets the same cross-phase CSE as production.  The
+    kernel cannot beat this number: it executes the identical math graph
+    plus rolls, DMA, assembly, and pipeline work."""
+    RY, RX = (0, 1), (0, 1)  # per-phase source alignment (2x exact)
+
+    def kern(tile_ref, out_ref):
+        tile3 = tile_ref[:, :, :]  # (3, TIH+8, TIW) f32
+        lumt = tile3[2] * 0.5 + (tile3[0] * 0.5 + tile3[1])
+        hg, wg = TIH + 4, TI + 4
+
+        def lum_at(dy, dx):
+            return lumt[dy:dy + hg, dx:dx + wg]
+
+        g_tex = easu_math.easu_texel_response(
+            lum_at(0, 1), lum_at(1, 0), lum_at(1, 1), lum_at(1, 2),
+            lum_at(2, 1), fast=True,
+        )
+        quad_off = {"s": (0, 0), "t": (0, 1), "u": (1, 0), "v": (1, 1)}
+
+        res_ab = []
+        for p, (ppy_c, ppx_c) in enumerate(PHASES):
+            a, b = p // 2, p % 2
+            taps = {
+                name: tile3[:, RY[a] + dy + 1:RY[a] + dy + 1 + TIH,
+                            RX[b] + dx + 2:RX[b] + dx + 2 + TI]
+                for name, (dx, dy) in easu_math.TAP_OFFSETS.items()
+            }
+            quad_g = {
+                qk: tuple(
+                    comp[RY[a] + qdy:RY[a] + qdy + TIH,
+                         RX[b] + qdx:RX[b] + qdx + TI]
+                    for comp in g_tex
+                )
+                for qk, (qdy, qdx) in quad_off.items()
+            }
+            ppx = jnp.full((1, 1), ppx_c, jnp.float32)
+            ppy = jnp.full((1, 1), ppy_c, jnp.float32)
+            res_ab.append(easu_math.easu_resolve(
+                taps, ppx, ppy, dtype=jnp.float32, dir_dtype=jnp.float32,
+                fast=True, quad_g=quad_g,
+            ))
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, TJ, TI), 2)
+        jrow = jax.lax.broadcasted_iota(jnp.int32, (1, TJ, TI), 1)
+        acc = None
+        for p in range(4):
+            a, b = p // 2, p % 2
+            e3 = res_ab[p][:, 1:1 + TJ, :]
+            bt = res_ab[(p + 1) % 4][:, 1:1 + TJ, :]
+            ht = res_ab[(p + 2) % 4][:, 1:1 + TJ, :]
+            dtp = res_ab[(p + 3) % 4][:, 1:1 + TJ, :]
+            ftp = res_ab[p][:, 2:2 + TJ, :]
+            grow = jrow * 2 + a
+            gcol = lane * 2 + b
+            if a == 0:
+                bt = jnp.where(grow == 0, e3, bt)
+            if a == 1:
+                ht = jnp.where(grow == 2159, e3, ht)
+            if b == 0:
+                dtp = jnp.where(gcol == 0, e3, dtp)
+            if b == 1:
+                ftp = jnp.where(gcol == 3839, e3, ftp)
+            r = easu_math.rcas_resolve(
+                bt, dtp, e3, ftp, ht, 0.8409, denoise=False, fast=True
+            )
+            acc = r if acc is None else acc + r
+        out_ref[:, :, :] = acc
+
+    rng = np.random.default_rng(1)
+    tile = jnp.asarray(rng.uniform(0.1, 0.9, (3, TIH + 8, TIW)), jnp.float32)
+    f = jax.jit(lambda t: pl.pallas_call(
+        kern,
+        grid=(NSTEP,),
+        in_specs=[pl.BlockSpec((3, TIH + 8, TIW), lambda i: (0, 0, 0))],
+        out_specs=pl.BlockSpec((3, TJ, TI), lambda i: (0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((3, TJ, TI), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=48 * 1024 * 1024),
+    )(t))
+    return min(
+        sum(profiling.op_times(
+            lambda: f(tile).block_until_ready(), iters=4
+        ).values())
+        for _ in range(3)
+    )
+
+
 def kernel_ms() -> float:
     in_hw, out_hw = (1080, 1920), (2160, 3840)
     con = EasuConstants.create((in_hw[1], in_hw[0]), None,
@@ -194,19 +287,24 @@ def kernel_ms() -> float:
 
 
 def main():
+    fs = replay_shared_ms()
     fl = replay_ms()
     fe = replay_ms(easu_only=True)
     km = kernel_ms()
     px = 2160 * 3840
     print(f"plan (tj, ti, tih, tiw): ({TJ}, {TI}, {TIH}, {TIW}), "
           f"{NSTEP} tiles")
+    print(f"shared-dataflow floor (slice taps):        {fs:.3f} ms")
     print(f"unshared-math replay (full op mix):        {fl:.3f} ms")
     print(f"unshared-math replay (EASU resolve only):  {fe:.3f} ms")
     print(f"production kernel (bf16-in headline):      {km:.3f} ms")
+    print(f"overhead vs shared floor (rolls+DMA+asm):  {km - fs:.3f} ms"
+          f"  ({(km - fs) / km * 100:.1f}% of kernel)")
+    print(f"utilization vs shared floor:               {fs / km * 100:.0f}%")
     print(f"kernel vs unshared replay:                 {km / fl * 100:.0f}%"
           f"  (<100% = cross-phase CSE + schedule beat the unshared stream)")
-    print(f"implied math throughput at replay rate: "
-          f"{410.75 * px / (fl * 1e-3) / 1e12:.2f} T counted-el-ops/s")
+    print(f"implied math throughput at shared floor: "
+          f"{410.75 * px / (fs * 1e-3) / 1e12:.2f} T counted-el-ops/s")
 
 
 if __name__ == "__main__":
